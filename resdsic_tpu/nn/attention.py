@@ -1,0 +1,227 @@
+"""Window attention blocks (ref: src/compress/layers/win_attention.py,
+layers.py:45-89).
+
+TPU-first design notes:
+  * window partition/reverse are pure reshapes/transposes — free under XLA.
+  * the shifted-window attention mask depends only on (H, W, window, shift),
+    all static under jit, so it is built with numpy at TRACE time and baked
+    into the executable as a constant — zero device work per step.
+  * attention over all windows is one batched (B*nW, heads, N, N) einsum
+    chain that XLA tiles onto the MXU; window N = ws² (64 or 16) keeps the
+    softmax working set entirely in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .conv import Conv, conv1x1, conv3x3, gelu
+
+
+def window_partition(x: jax.Array, window_size: int) -> jax.Array:
+    """(B, H, W, C) → (B*nW, ws*ws, C)."""
+    b, h, w, c = x.shape
+    ws = window_size
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows: jax.Array, window_size: int, h: int, w: int) -> jax.Array:
+    """(B*nW, ws*ws, C) → (B, H, W, C)."""
+    ws = window_size
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def _relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Static (wh*ww, wh*ww) lookup into the (2wh-1)(2ww-1) bias table."""
+    coords = np.stack(
+        np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+    )  # 2, wh, ww
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # 2, N, N
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+def make_shift_attn_mask(h: int, w: int, window_size: int, shift: int) -> np.ndarray:
+    """Static SW-MSA mask, (nW, N, N) float32 in {0, -100} — trace-time numpy."""
+    img_mask = np.zeros((h, w), np.int32)
+    slices = (
+        slice(0, -window_size),
+        slice(-window_size, -shift),
+        slice(-shift, None),
+    )
+    cnt = 0
+    for hs in slices:
+        for ws_ in slices:
+            img_mask[hs, ws_] = cnt
+            cnt += 1
+    ws = window_size
+    m = img_mask.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
+    m = m.reshape(-1, ws * ws)
+    attn_mask = m[:, None, :] - m[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias over (B_, N, C) windows
+    (ref win_attention.py:37-115)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        b_, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        scale = hd**-0.5
+        ws = self.window_size
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * ws - 1) * (2 * ws - 1), nh),
+            jnp.float32,
+        )
+        rel_index = _relative_position_index(ws, ws)  # static numpy
+
+        qkv = nn.Dense(
+            c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+            param_dtype=jnp.float32, name="qkv",
+        )(x)
+        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
+
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * scale, k,
+            preferred_element_type=jnp.float32,
+        )
+        rel_bias = bias_table[rel_index.reshape(-1)].reshape(n, n, nh)
+        attn = attn + rel_bias.transpose(2, 0, 1)[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask[None, :, None]
+            attn = attn.reshape(b_, nh, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", attn, v, preferred_element_type=self.dtype
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return nn.Dense(
+            c, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
+        )(out)
+
+
+class WinBasedAttention(nn.Module):
+    """Swin-style residual W/SW-MSA block, attention only — no MLP
+    (ref win_attention.py:118-207)."""
+
+    dim: int
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        shortcut = x
+
+        if self.shift_size > 0:
+            mask = jnp.asarray(
+                make_shift_attn_mask(h, w, self.window_size, self.shift_size)
+            )
+            shifted = jnp.roll(
+                x, shift=(-self.shift_size, -self.shift_size), axis=(1, 2)
+            )
+        else:
+            mask = None
+            shifted = x
+
+        windows = window_partition(shifted, self.window_size)
+        attn_windows = WindowAttention(
+            dim=self.dim,
+            window_size=self.window_size,
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            name="attn",
+        )(windows, mask=mask)
+        shifted = window_reverse(attn_windows, self.window_size, h, w)
+
+        if self.shift_size > 0:
+            out = jnp.roll(
+                shifted, shift=(self.shift_size, self.shift_size), axis=(1, 2)
+            )
+        else:
+            out = shifted
+        return shortcut + out
+
+
+class ResidualUnit(nn.Module):
+    """1x1 → 3x3 → 1x1 bottleneck with GELUs (ref layers.py:52-71)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = self.dim
+        out = conv1x1(n // 2, dtype=self.dtype)(x)
+        out = gelu(out)
+        out = conv3x3(n // 2, dtype=self.dtype)(out)
+        out = gelu(out)
+        out = conv1x1(n, dtype=self.dtype)(out)
+        return gelu(out + x)
+
+
+class WinNoShiftAttention(nn.Module):
+    """Two-branch gated attention block (ref layers.py:45-89).
+
+    Despite the reference name, shift_size may be nonzero (WACNN passes 4/2).
+    out = conv_a(x) * sigmoid(conv_b(x)) + x.
+    """
+
+    dim: int
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        a = x
+        for i in range(3):
+            a = ResidualUnit(self.dim, dtype=self.dtype, name=f"conv_a_{i}")(a)
+
+        b = WinBasedAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            shift_size=self.shift_size,
+            dtype=self.dtype,
+            name="win_attn",
+        )(x)
+        for i in range(3):
+            b = ResidualUnit(self.dim, dtype=self.dtype, name=f"conv_b_{i}")(b)
+        b = conv1x1(self.dim, dtype=self.dtype)(b)
+
+        return a * jax.nn.sigmoid(b) + x

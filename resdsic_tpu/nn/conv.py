@@ -1,0 +1,162 @@
+"""Convolution building blocks (NHWC, torch-shape-compatible padding).
+
+Parity targets (reference):
+  - conv/deconv factories: src/compress/models/WACNN/utils.py:46-134
+  - conv3x3/conv1x1/subpel_conv3x3: src/compress/layers/layers.py:29-43
+
+Padding follows the reference's torch conventions (pad = k//2 both sides;
+deconv: stride-2 transposed conv with output_padding = stride-1) so converted
+checkpoints produce identical spatial maps. All convs run in NHWC — the
+TPU-native layout — with an optional compute dtype (bf16) while params stay
+f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class Conv(nn.Module):
+    """2D convolution, torch-style symmetric padding k//2."""
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        p = self.kernel_size // 2
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class Deconv(nn.Module):
+    """2D transposed convolution, exact torch ConvTranspose2d semantics.
+
+    Implemented as an input-dilated convolution (lhs_dilation = stride) with
+    asymmetric padding (k-1-p, k-1-p+output_padding) and a spatially-flipped
+    kernel — the unambiguous formulation that maps 1:1 onto XLA and onto the
+    reference's deconv helper (WACNN/utils.py).
+    Output size: (H-1)*stride - 2p + k + output_padding with p = k//2,
+    output_padding = stride-1  →  exactly H*stride.
+    """
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, s = self.kernel_size, self.stride
+        p = k // 2
+        out_pad = s - 1
+        pad_lo = k - 1 - p
+        pad_hi = k - 1 - p + out_pad
+        in_ch = x.shape[-1]
+
+        # Kernel stored HWIO for the equivalent correlation (already flipped
+        # relative to torch's ConvTranspose weight; converter handles that).
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, in_ch, self.features),
+            jnp.float32,
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def conv(out_ch: int, kernel_size: int = 5, stride: int = 2, dtype=jnp.float32):
+    return Conv(out_ch, kernel_size=kernel_size, stride=stride, dtype=dtype)
+
+
+def deconv(out_ch: int, kernel_size: int = 5, stride: int = 2, dtype=jnp.float32):
+    return Deconv(out_ch, kernel_size=kernel_size, stride=stride, dtype=dtype)
+
+
+def conv3x3(out_ch: int, stride: int = 1, dtype=jnp.float32):
+    return Conv(out_ch, kernel_size=3, stride=stride, dtype=dtype)
+
+
+def conv1x1(out_ch: int, stride: int = 1, dtype=jnp.float32):
+    return Conv(out_ch, kernel_size=1, stride=stride, dtype=dtype)
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """Depth-to-space with torch PixelShuffle channel ordering.
+
+    Input (B, H, W, C*r*r) with channel index c*r*r + i*r + j maps to
+    output (B, H*r, W*r, C) at (h*r+i, w*r+j, c).
+    """
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # B, H, i, W, j, C
+    return x.reshape(b, h * r, w * r, c)
+
+
+class SubpelConv3x3(nn.Module):
+    """3x3 conv + pixel shuffle upsampling (ref layers.py:34-38)."""
+
+    features: int
+    r: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = Conv(
+            self.features * self.r**2, kernel_size=3, stride=1,
+            dtype=self.dtype, name="conv",
+        )(x)
+        return pixel_shuffle(y, self.r)
+
+
+def subpel_conv3x3(out_ch: int, r: int = 1, dtype=jnp.float32):
+    return SubpelConv3x3(out_ch, r=r, dtype=dtype)
+
+
+class Sequential(nn.Module):
+    """Apply a list of modules/callables in order (named layers_{i})."""
+
+    layers: Sequence[Callable]
+
+    @nn.compact
+    def __call__(self, x):
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — matches torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
