@@ -1,0 +1,204 @@
+"""Host-side codec drivers: orchestrate jitted device programs + native rANS.
+
+This is the runtime layer that replaces the reference's eager
+compress()/decompress() methods (cnn.py:217-342): pure jitted device
+programs compute symbols/params; the native C++ coder turns them into bytes.
+
+Bitstream container format (per image):
+    strings = [y_strings, z_strings]   (lists over the batch)
+matching the reference's {"strings": [...], "shape": z_spatial} contract.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coding import BufferedRansEncoder, CdfTable, RansDecoder, RansEncoder
+from ..entropy import build_eb_table, build_gc_table, eb_medians, get_scale_table
+from ..entropy.tables import eb_build_indexes
+
+
+class WACNNCodec:
+    """Real-bitstream codec for the WACNN model family.
+
+    Usage:
+        codec = WACNNCodec(model, params)
+        codec.update()                      # build integer CDF tables
+        out = codec.compress(x)             # {"strings": [...], "shape": ...}
+        rec = codec.decompress(out["strings"], out["shape"])
+    """
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        self.eb_table: CdfTable | None = None
+        self.gc_table: CdfTable | None = None
+        self.scale_table = get_scale_table()
+
+        self._analyze_fn = jax.jit(functools.partial(model.apply, method="analyze"))
+        self._quantize_fn = jax.jit(
+            functools.partial(model.apply, method="quantize_slice"),
+            static_argnames=("slice_index",),
+        )
+        self._hyper_fn = jax.jit(
+            functools.partial(model.apply, method="hyper_synthesis")
+        )
+        self._slice_params_fn = jax.jit(
+            functools.partial(model.apply, method="slice_params"),
+            static_argnames=("slice_index",),
+        )
+        self._slice_rec_fn = jax.jit(
+            functools.partial(model.apply, method="slice_reconstruct"),
+            static_argnames=("slice_index",),
+        )
+        self._synth_fn = jax.jit(functools.partial(model.apply, method="synthesize"))
+
+    # -- table management (reference `update()`, cnn.py:135-140) --
+
+    def update(self, force: bool = False) -> bool:
+        if self.eb_table is not None and not force:
+            return False
+        eb_params = self.params["params"]["entropy_bottleneck"]
+        self.eb_table = build_eb_table(eb_params)
+        self.gc_table = build_gc_table(self.scale_table)
+        self._medians = eb_medians(eb_params)
+        return True
+
+    def _check_updated(self):
+        if self.eb_table is None:
+            raise RuntimeError("Uninitialized CDF tables — call update() first")
+
+    # -- encode --
+
+    def compress(self, x: jax.Array, return_debug: bool = False) -> Dict[str, Any]:
+        """x: (B, H, W, 3) in [0,1], H and W multiples of 64.
+
+        Drives the SAME shared device programs as decompress() for all
+        decoder-recomputed values (see wacnn.py determinism note); only
+        analyze() and per-slice quantization are encoder-private.
+        """
+        self._check_updated()
+        y, z_symbols_dev = self._analyze_fn(self.params, x)
+        z_symbols = np.asarray(z_symbols_dev)
+        b = z_symbols.shape[0]
+
+        # z_hat exactly as the decoder will rebuild it (host add, then device)
+        z_hat = jnp.asarray(z_symbols.astype(np.float32) + self._medians)
+        latent_means, latent_scales = self._hyper_fn(self.params, z_hat)
+
+        y_hat_slices: List[jax.Array] = []
+        sym_slices, idx_slices = [], []
+        for i in range(self.model.num_slices):
+            support = tuple(y_hat_slices[: self.model.max_support_slices])
+            mu, _, indexes = self._slice_params_fn(
+                self.params,
+                slice_index=i,
+                latent_means=latent_means,
+                latent_scales=latent_scales,
+                support=support,
+            )
+            syms = self._quantize_fn(self.params, slice_index=i, y=y, mu=mu)
+            sym_slices.append(syms)
+            idx_slices.append(indexes)
+            y_hat_slices.append(
+                self._slice_rec_fn(
+                    self.params,
+                    slice_index=i,
+                    symbols=syms,
+                    mu=mu,
+                    latent_means=latent_means,
+                    support=support,
+                )
+            )
+
+        # slice-major symbol order (slice 0 fully, then slice 1, ...) — must
+        # match the decoder's per-slice decode_stream sequence
+        y_symbols = np.asarray(jnp.stack(sym_slices, axis=1))
+        y_indexes = np.asarray(jnp.stack(idx_slices, axis=1))
+
+        z_idx = eb_build_indexes(z_symbols.shape, z_symbols.shape[-1])
+        enc = RansEncoder()
+        z_strings = [
+            enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table)
+            for i in range(b)
+        ]
+        y_strings = [
+            enc.encode_with_indexes(y_symbols[i], y_indexes[i], self.gc_table)
+            for i in range(b)
+        ]
+        out = {
+            "strings": [y_strings, z_strings],
+            "shape": tuple(z_symbols.shape[1:3]),
+        }
+        if return_debug:
+            out["y_hat"] = jnp.concatenate(y_hat_slices, axis=-1)
+        return out
+
+    # -- decode --
+
+    def _decode_z(self, z_strings: Sequence[bytes], shape) -> jax.Array:
+        zh, zw = shape
+        c = self.model.N
+        z_idx = eb_build_indexes((1, zh, zw, c), c)[0]
+        dec = RansDecoder()
+        outs = [
+            dec.decode_with_indexes(s, z_idx, self.eb_table).reshape(zh, zw, c)
+            for s in z_strings
+        ]
+        z_sym = np.stack(outs).astype(np.float32)
+        return jnp.asarray(z_sym + self._medians)
+
+    def decompress(self, strings, shape, return_debug: bool = False) -> Dict[str, Any]:
+        self._check_updated()
+        y_strings, z_strings = strings[0], strings[1]
+        z_hat = self._decode_z(z_strings, shape)
+        latent_means, latent_scales = self._hyper_fn(self.params, z_hat)
+
+        b = z_hat.shape[0]
+        yh, yw = shape[0] * 4, shape[1] * 4
+        sc = self.model.slice_ch
+
+        decoders = []
+        for s in y_strings:
+            d = RansDecoder()
+            d.set_stream(s)
+            decoders.append(d)
+
+        y_hat_slices: List[jax.Array] = []
+        for i in range(self.model.num_slices):
+            support = tuple(y_hat_slices[: self.model.max_support_slices])
+            mu, _, indexes = self._slice_params_fn(
+                self.params,
+                slice_index=i,
+                latent_means=latent_means,
+                latent_scales=latent_scales,
+                support=support,
+            )
+            idx_np = np.asarray(indexes)
+            syms = np.stack(
+                [
+                    decoders[j].decode_stream(idx_np[j], self.gc_table)
+                    for j in range(b)
+                ]
+            ).reshape(b, yh, yw, sc)
+            y_hat_slice = self._slice_rec_fn(
+                self.params,
+                slice_index=i,
+                symbols=jnp.asarray(syms),
+                mu=mu,
+                latent_means=latent_means,
+                support=support,
+            )
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self._synth_fn(self.params, y_hat)
+        out = {"x_hat": x_hat}
+        if return_debug:
+            out["y_hat"] = y_hat
+        return out

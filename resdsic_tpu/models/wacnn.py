@@ -1,0 +1,278 @@
+"""WACNN baseline codec ("cnn" registry key).
+
+Parity target: src/compress/models/WACNN/cnn.py (class WACNN, 346 LoC):
+N=192, M=320, 10 channel slices of 32 with ≤5 support slices, GDN analysis/
+synthesis with shifted-window attention, conv hyperprior, per-slice
+channel-autoregressive gaussian conditional with latent residual prediction.
+
+TPU-first structure:
+  * __call__ is one pure jit-traceable function (the 10-slice loop is a
+    static Python loop over heterogeneous per-slice conv stacks — unrolled
+    at trace time, fully fused by XLA).
+  * compress_device() computes EVERYTHING the encoder needs — z symbols,
+    y symbols, scale indexes — in a single device program with zero host
+    round-trips; `round(y-mu)+mu` is decoder-consistent so the autoregressive
+    support slices never need real decoded values on the encoder.
+  * decode side exposes per-slice methods (slice_params / slice_reconstruct)
+    that the host codec driver interleaves with native rANS decode calls —
+    the only fundamentally sequential host↔device boundary (SURVEY.md §7).
+
+All tensors are NHWC (TPU-native). Hidden widths are derived from (N, M) so
+tiny test configs exist; defaults reproduce the reference exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..entropy import (
+    EntropyBottleneck,
+    GaussianConditional,
+    gc_build_indexes,
+    get_scale_table,
+    quantize_symbols,
+)
+from ..nn import (
+    GDN,
+    Conv,
+    Deconv,
+    SubpelConv3x3,
+    WinNoShiftAttention,
+    gelu,
+)
+from ..ops.math import ste_round
+
+
+def _hyper_widths(M: int, N: int) -> list:
+    """h_a channel chain M→N in 5 stops (ref cnn.py:56-66: 320,288,256,224,192)."""
+    return [int(round(v)) for v in np.linspace(M, N, 5)]
+
+
+def _cc_widths(M: int) -> list:
+    """cc-transform hidden widths (ref cnn.py:91-116: 224,176,128,64 @ M=320)."""
+    return [int(M * f) for f in (0.7, 0.55, 0.4, 0.2)]
+
+
+class WACNN(nn.Module):
+    """CNN-based codec with channel-wise autoregressive entropy model."""
+
+    N: int = 192
+    M: int = 320
+    num_slices: int = 10
+    max_support_slices: int = 5
+    dtype: Any = jnp.float32
+
+    @property
+    def slice_ch(self) -> int:
+        return self.M // self.num_slices
+
+    def setup(self):
+        N, M, dt = self.N, self.M, self.dtype
+
+        self.g_a = [
+            Conv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(dtype=dt),
+            Conv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(dtype=dt),
+            WinNoShiftAttention(dim=N, num_heads=8, window_size=8, shift_size=4, dtype=dt),
+            Conv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(dtype=dt),
+            Conv(M, kernel_size=5, stride=2, dtype=dt),
+            WinNoShiftAttention(dim=M, num_heads=8, window_size=4, shift_size=2, dtype=dt),
+        ]
+        self.g_s = [
+            WinNoShiftAttention(dim=M, num_heads=8, window_size=4, shift_size=2, dtype=dt),
+            Deconv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(inverse=True, dtype=dt),
+            Deconv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(inverse=True, dtype=dt),
+            WinNoShiftAttention(dim=N, num_heads=8, window_size=8, shift_size=4, dtype=dt),
+            Deconv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(inverse=True, dtype=dt),
+            Deconv(3, kernel_size=5, stride=2, dtype=dt),
+        ]
+
+        hw = _hyper_widths(M, N)  # [M, ., ., ., N]
+        self.h_a = [
+            Conv(hw[0], kernel_size=3, stride=1, dtype=dt), gelu,
+            Conv(hw[1], kernel_size=3, stride=1, dtype=dt), gelu,
+            Conv(hw[2], kernel_size=3, stride=2, dtype=dt), gelu,
+            Conv(hw[3], kernel_size=3, stride=1, dtype=dt), gelu,
+            Conv(hw[4], kernel_size=3, stride=2, dtype=dt),
+        ]
+        hyper_up = [
+            Conv(hw[4], kernel_size=3, stride=1, dtype=dt), gelu,
+            SubpelConv3x3(hw[3], r=2, dtype=dt), gelu,
+            Conv(hw[2], kernel_size=3, stride=1, dtype=dt), gelu,
+            SubpelConv3x3(hw[1], r=2, dtype=dt), gelu,
+            Conv(hw[0], kernel_size=3, stride=1, dtype=dt),
+        ]
+        self.h_mean_s = hyper_up
+        self.h_scale_s = [
+            Conv(hw[4], kernel_size=3, stride=1, dtype=dt), gelu,
+            SubpelConv3x3(hw[3], r=2, dtype=dt), gelu,
+            Conv(hw[2], kernel_size=3, stride=1, dtype=dt), gelu,
+            SubpelConv3x3(hw[1], r=2, dtype=dt), gelu,
+            Conv(hw[0], kernel_size=3, stride=1, dtype=dt),
+        ]
+
+        cw = _cc_widths(M)
+        sc = self.slice_ch
+
+        def cc_stack():
+            return [
+                Conv(cw[0], kernel_size=3, stride=1, dtype=dt), gelu,
+                Conv(cw[1], kernel_size=3, stride=1, dtype=dt), gelu,
+                Conv(cw[2], kernel_size=3, stride=1, dtype=dt), gelu,
+                Conv(cw[3], kernel_size=3, stride=1, dtype=dt), gelu,
+                Conv(sc, kernel_size=3, stride=1, dtype=dt),
+            ]
+
+        self.cc_mean_transforms = [cc_stack() for _ in range(self.num_slices)]
+        self.cc_scale_transforms = [cc_stack() for _ in range(self.num_slices)]
+        self.lrp_transforms = [cc_stack() for _ in range(self.num_slices)]
+
+        self.entropy_bottleneck = EntropyBottleneck(channels=self.N)
+        self.gaussian_conditional = GaussianConditional()
+
+    # ---------------- pure helpers ----------------
+
+    @staticmethod
+    def _seq(layers, x):
+        for layer in layers:
+            x = layer(x)
+        return x
+
+    def _scale_table(self) -> jax.Array:
+        return jnp.asarray(get_scale_table())
+
+    def _support(self, y_hat_slices: Sequence[jax.Array]):
+        if self.max_support_slices < 0:
+            return list(y_hat_slices)
+        return list(y_hat_slices[: self.max_support_slices])
+
+    def _slice_mu_scale(self, idx, latent_means, latent_scales, support):
+        mean_support = jnp.concatenate([latent_means] + support, axis=-1)
+        mu = self._seq(self.cc_mean_transforms[idx], mean_support)
+        scale_support = jnp.concatenate([latent_scales] + support, axis=-1)
+        scale = self._seq(self.cc_scale_transforms[idx], scale_support)
+        return mu, scale, mean_support
+
+    def _lrp(self, idx, mean_support, y_hat_slice):
+        lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
+        lrp = self._seq(self.lrp_transforms[idx], lrp_support)
+        return 0.5 * jnp.tanh(lrp)
+
+    # ---------------- training / estimation forward ----------------
+
+    def __call__(self, x: jax.Array, training: bool = False) -> Dict[str, Any]:
+        y = self._seq(self.g_a, x)
+        z = self._seq(self.h_a, y)
+
+        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
+
+        # STE-round z around medians for the synthesis path (ref cnn.py:152-154)
+        medians = self.entropy_bottleneck.medians()
+        z_hat = ste_round(z - medians) + medians
+
+        latent_scales = self._seq(self.h_scale_s, z_hat)
+        latent_means = self._seq(self.h_mean_s, z_hat)
+
+        sc = self.slice_ch
+        y_hat_slices = []
+        y_likelihoods = []
+        for i in range(self.num_slices):
+            y_slice = y[..., i * sc : (i + 1) * sc]
+            support = self._support(y_hat_slices)
+            mu, scale, mean_support = self._slice_mu_scale(
+                i, latent_means, latent_scales, support
+            )
+            _, lik = self.gaussian_conditional(
+                y_slice, scale, mu, training=training
+            )
+            y_likelihoods.append(lik)
+
+            y_hat_slice = ste_round(y_slice - mu) + mu
+            y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self._seq(self.g_s, y_hat)
+
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {
+                "y": jnp.concatenate(y_likelihoods, axis=-1),
+                "z": z_likelihoods,
+            },
+        }
+
+    def aux_loss(self) -> jax.Array:
+        return self.entropy_bottleneck.aux_loss()
+
+    # ---------------- encoder device programs ----------------
+    #
+    # Codec-determinism rule: any quantity the DECODER recomputes (z_hat,
+    # latent means/scales, per-slice mu/scale/indexes, reconstructed slices)
+    # must be produced by the SAME jitted executable on both sides — two
+    # differently-fused XLA programs can disagree by 1 ulp, which flips a
+    # round()/searchsorted decision and desyncs the rANS stream. analyze()
+    # therefore only computes encoder-private values (y, z symbols); the
+    # shared hyper_synthesis/slice_params/slice_reconstruct programs are
+    # driven identically by the host codec for encode and decode.
+
+    def analyze(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """g_a + h_a + z quantization. Returns (y, z_symbols)."""
+        y = self._seq(self.g_a, x)
+        z = self._seq(self.h_a, y)
+        medians = self.entropy_bottleneck.medians()
+        z_symbols = quantize_symbols(z, jnp.broadcast_to(medians, z.shape))
+        return y, z_symbols
+
+    def quantize_slice(
+        self, slice_index: int, y: jax.Array, mu: jax.Array
+    ) -> jax.Array:
+        """Integer symbols for one y slice given the shared-program mu."""
+        sc = self.slice_ch
+        y_slice = y[..., slice_index * sc : (slice_index + 1) * sc]
+        return quantize_symbols(y_slice, mu)
+
+    # ---------------- decoder device programs ----------------
+
+    def hyper_synthesis(self, z_hat: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return self._seq(self.h_mean_s, z_hat), self._seq(self.h_scale_s, z_hat)
+
+    def slice_params(
+        self,
+        slice_index: int,
+        latent_means: jax.Array,
+        latent_scales: jax.Array,
+        support: Tuple[jax.Array, ...],
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """(mu, scale, indexes) for one slice given decoded support slices."""
+        mu, scale, _ = self._slice_mu_scale(
+            slice_index, latent_means, latent_scales, list(support)
+        )
+        indexes = gc_build_indexes(scale, self._scale_table())
+        return mu, scale, indexes
+
+    def slice_reconstruct(
+        self,
+        slice_index: int,
+        symbols: jax.Array,
+        mu: jax.Array,
+        latent_means: jax.Array,
+        support: Tuple[jax.Array, ...],
+    ) -> jax.Array:
+        """Dequantize one slice and apply latent residual prediction."""
+        y_hat_slice = symbols.astype(jnp.float32) + mu
+        mean_support = jnp.concatenate([latent_means] + list(support), axis=-1)
+        return y_hat_slice + self._lrp(slice_index, mean_support, y_hat_slice)
+
+    def synthesize(self, y_hat: jax.Array) -> jax.Array:
+        return jnp.clip(self._seq(self.g_s, y_hat), 0.0, 1.0)
