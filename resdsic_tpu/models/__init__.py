@@ -11,11 +11,13 @@ Registry keys:
 
 from __future__ import annotations
 
-from .codec import WACNNCodec
+from .codec import ScalableCodec, WACNNCodec
+from .scalable import ResWACNNIndependentEntropy, ResWACNNSharedEntropy
 from .wacnn import WACNN
 
 models = {
     "cnn": WACNN,
+    "ind": ResWACNNIndependentEntropy,
 }
 
 
@@ -54,4 +56,13 @@ def _scalable_kwargs(args):
     return kwargs
 
 
-__all__ = ["models", "get_model", "configure_model", "WACNN", "WACNNCodec"]
+__all__ = [
+    "models",
+    "get_model",
+    "configure_model",
+    "WACNN",
+    "WACNNCodec",
+    "ScalableCodec",
+    "ResWACNNSharedEntropy",
+    "ResWACNNIndependentEntropy",
+]

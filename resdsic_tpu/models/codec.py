@@ -202,3 +202,261 @@ class WACNNCodec:
         if return_debug:
             out["y_hat"] = y_hat
         return out
+
+
+class ScalableCodec(WACNNCodec):
+    """Codec driver for the scalable family (shared / independent / …).
+
+    Bitstream contract mirrors the reference (independent.py:611-627):
+        q == 0:  strings = [y_strings, z_strings],            shape = [z_hw]
+        q != 0:  strings = [y_strings, z_strings, z_strings_prog,
+                            progressive_strings],  shape = [z_hw, z_prog_hw]
+    progressive_strings is a list over slices, each a list over the batch —
+    the per-slice stream structure the reference produces via
+    gaussian_conditional_prog.compress (independent.py:589-592).
+    """
+
+    def __init__(self, model, params):
+        super().__init__(model, params)
+        self.eb_prog_table: CdfTable | None = None
+        self._analyze_scal_fn = jax.jit(
+            functools.partial(model.apply, method="analyze_scalable"),
+            static_argnames=("with_prog",),
+        )
+        self._hyper_prog_fn = jax.jit(
+            functools.partial(model.apply, method="hyper_synthesis_prog")
+        )
+        self._slice_params_prog_fn = jax.jit(
+            functools.partial(model.apply, method="slice_params_prog"),
+            static_argnames=("slice_index",),
+        )
+        self._quantize_prog_fn = jax.jit(
+            functools.partial(model.apply, method="quantize_slice_prog"),
+            static_argnames=("slice_index",),
+        )
+        self._slice_rec_prog_fn = jax.jit(
+            functools.partial(model.apply, method="slice_reconstruct_prog"),
+            static_argnames=("slice_index",),
+        )
+        self._synth_scal_fn = jax.jit(
+            functools.partial(model.apply, method="synthesize_scalable"),
+            static_argnames=("q_is_zero",),
+        )
+
+    def update(self, force: bool = False) -> bool:
+        if self.eb_table is not None and not force:
+            return False
+        p = self.params["params"]
+        self.eb_table = build_eb_table(p["entropy_bottleneck"])
+        self.eb_prog_table = build_eb_table(p["entropy_bottleneck_prog"])
+        self.gc_table = build_gc_table(self.scale_table)
+        self._medians = eb_medians(p["entropy_bottleneck"])
+        self._medians_prog = eb_medians(p["entropy_bottleneck_prog"])
+        return True
+
+    def _normalize_quality(self, quality):
+        return self.model.normalize_quality(quality)
+
+    def compress(self, x: jax.Array, quality=0.0, return_debug: bool = False):
+        self._check_updated()
+        q = self._normalize_quality(quality)
+        with_prog = q != 0
+
+        out = self._analyze_scal_fn(self.params, x, with_prog=with_prog)
+        y = out["y"]
+        z_symbols = np.asarray(out["z_symbols"])
+        b = z_symbols.shape[0]
+
+        # ---- base branch (same shared-program discipline as WACNNCodec) ----
+        z_hat = jnp.asarray(z_symbols.astype(np.float32) + self._medians)
+        latent_means, latent_scales = self._hyper_fn(self.params, z_hat)
+
+        y_hat_slices: List[jax.Array] = []
+        sym_slices, idx_slices = [], []
+        for i in range(self.model.num_slices):
+            support = tuple(y_hat_slices[: self.model.max_support_slices])
+            mu, _, indexes = self._slice_params_fn(
+                self.params, slice_index=i,
+                latent_means=latent_means, latent_scales=latent_scales,
+                support=support,
+            )
+            syms = self._quantize_fn(self.params, slice_index=i, y=y, mu=mu)
+            sym_slices.append(syms)
+            idx_slices.append(indexes)
+            y_hat_slices.append(
+                self._slice_rec_fn(
+                    self.params, slice_index=i, symbols=syms, mu=mu,
+                    latent_means=latent_means, support=support,
+                )
+            )
+
+        y_symbols = np.asarray(jnp.stack(sym_slices, axis=1))
+        y_indexes = np.asarray(jnp.stack(idx_slices, axis=1))
+        z_idx = eb_build_indexes(z_symbols.shape, z_symbols.shape[-1])
+        enc = RansEncoder()
+        z_strings = [
+            enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table)
+            for i in range(b)
+        ]
+        y_strings = [
+            enc.encode_with_indexes(y_symbols[i], y_indexes[i], self.gc_table)
+            for i in range(b)
+        ]
+
+        if not with_prog:
+            result = {
+                "strings": [y_strings, z_strings],
+                "shape": [tuple(z_symbols.shape[1:3])],
+            }
+            if return_debug:
+                result["y_hat"] = jnp.concatenate(y_hat_slices, axis=-1)
+            return result
+
+        # ---- progressive branch ----
+        y_prog = out["y_prog"]
+        z_prog_symbols = np.asarray(out["z_prog_symbols"])
+        z_hat_prog = jnp.asarray(
+            z_prog_symbols.astype(np.float32) + self._medians_prog
+        )
+        means_prog, scales_prog = self._hyper_prog_fn(self.params, z_hat_prog)
+
+        zp_idx = eb_build_indexes(z_prog_symbols.shape, z_prog_symbols.shape[-1])
+        z_strings_prog = [
+            enc.encode_with_indexes(z_prog_symbols[i], zp_idx[i], self.eb_prog_table)
+            for i in range(b)
+        ]
+
+        y_hat_prog: List[jax.Array] = []
+        progressive_strings: List[List[bytes]] = []
+        for i in range(self.model.num_slices):
+            support = tuple(y_hat_prog[: self.model.max_support_slices])
+            mu_p, _, idx_p = self._slice_params_prog_fn(
+                self.params, slice_index=i,
+                means_prog=means_prog, scales_prog=scales_prog,
+                support=support,
+            )
+            syms_p = self._quantize_prog_fn(
+                self.params, slice_index=i, y_prog=y_prog, mu=mu_p
+            )
+            idx_np = np.asarray(idx_p)
+            syms_np = np.asarray(syms_p)
+            progressive_strings.append(
+                [
+                    enc.encode_with_indexes(syms_np[j], idx_np[j], self.gc_table)
+                    for j in range(b)
+                ]
+            )
+            y_hat_prog.append(
+                self._slice_rec_prog_fn(
+                    self.params, slice_index=i, symbols=syms_p, mu=mu_p,
+                    means_prog=means_prog, support=support,
+                )
+            )
+
+        result = {
+            "strings": [y_strings, z_strings, z_strings_prog, progressive_strings],
+            "shape": [
+                tuple(z_symbols.shape[1:3]),
+                tuple(z_prog_symbols.shape[1:3]),
+            ],
+        }
+        if return_debug:
+            result["y_hat"] = jnp.concatenate(
+                [
+                    a + b_
+                    for a, b_ in zip(y_hat_slices, y_hat_prog)
+                ],
+                axis=-1,
+            )
+        return result
+
+    def decompress(self, strings, shape, quality=0.0, return_debug: bool = False):
+        self._check_updated()
+        q = self._normalize_quality(quality)
+        with_prog = q != 0
+
+        y_strings, z_strings = strings[0], strings[1]
+        z_hat = self._decode_z(z_strings, shape[0])
+        latent_means, latent_scales = self._hyper_fn(self.params, z_hat)
+
+        b = z_hat.shape[0]
+        yh, yw = shape[0][0] * 4, shape[0][1] * 4
+        sc = self.model.slice_ch
+
+        decoders = []
+        for s in y_strings:
+            d = RansDecoder()
+            d.set_stream(s)
+            decoders.append(d)
+
+        if with_prog:
+            z_strings_prog, progressive_strings = strings[2], strings[3]
+            zp_h, zp_w = shape[-1]
+            c = self.model.N
+            zp_idx = eb_build_indexes((1, zp_h, zp_w, c), c)[0]
+            dec1 = RansDecoder()
+            zp_sym = np.stack(
+                [
+                    dec1.decode_with_indexes(s, zp_idx, self.eb_prog_table)
+                    .reshape(zp_h, zp_w, c)
+                    for s in z_strings_prog
+                ]
+            ).astype(np.float32)
+            z_hat_prog = jnp.asarray(zp_sym + self._medians_prog)
+            means_prog, scales_prog = self._hyper_prog_fn(self.params, z_hat_prog)
+
+        y_hat_slices: List[jax.Array] = []
+        y_hat_prog: List[jax.Array] = []
+        y_hat_complete: List[jax.Array] = []
+        for i in range(self.model.num_slices):
+            support = tuple(y_hat_slices[: self.model.max_support_slices])
+            mu, _, indexes = self._slice_params_fn(
+                self.params, slice_index=i,
+                latent_means=latent_means, latent_scales=latent_scales,
+                support=support,
+            )
+            idx_np = np.asarray(indexes)
+            syms = np.stack(
+                [
+                    decoders[j].decode_stream(idx_np[j], self.gc_table)
+                    for j in range(b)
+                ]
+            ).reshape(b, yh, yw, sc)
+            y_hat_slice = self._slice_rec_fn(
+                self.params, slice_index=i, symbols=jnp.asarray(syms), mu=mu,
+                latent_means=latent_means, support=support,
+            )
+            y_hat_slices.append(y_hat_slice)
+
+            if with_prog:
+                support_p = tuple(y_hat_prog[: self.model.max_support_slices])
+                mu_p, _, idx_p = self._slice_params_prog_fn(
+                    self.params, slice_index=i,
+                    means_prog=means_prog, scales_prog=scales_prog,
+                    support=support_p,
+                )
+                idxp_np = np.asarray(idx_p)
+                dec_p = RansDecoder()
+                syms_p = np.stack(
+                    [
+                        dec_p.decode_with_indexes(
+                            progressive_strings[i][j], idxp_np[j], self.gc_table
+                        )
+                        for j in range(b)
+                    ]
+                ).reshape(b, yh, yw, sc)
+                y_hat_p = self._slice_rec_prog_fn(
+                    self.params, slice_index=i, symbols=jnp.asarray(syms_p),
+                    mu=mu_p, means_prog=means_prog, support=support_p,
+                )
+                y_hat_prog.append(y_hat_p)
+                y_hat_complete.append(y_hat_slice + y_hat_p)
+            else:
+                y_hat_complete.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_complete, axis=-1)
+        x_hat = self._synth_scal_fn(self.params, y_hat, q_is_zero=not with_prog)
+        out = {"x_hat": x_hat}
+        if return_debug:
+            out["y_hat"] = y_hat
+        return out

@@ -1,0 +1,372 @@
+"""Scalable (base + progressive) WACNN, shared progressive entropy plumbing.
+
+Parity target: src/compress/models/WACNN/scalable/shared.py
+(ResWACNNSharedEntropy, 660 LoC): a second analysis transform
+`g_a_progressive` consumes the intermediate g_a feature (↓8, N channels)
+rearranged to image resolution and concatenated with the input (T = N/64 + 3
+channels); the progressive latent gets its own EntropyBottleneck /
+GaussianConditional but — in this *shared* variant — REUSES h_a /
+h_mean_s / h_scale_s and the cc/lrp transforms of the base branch
+(ref shared.py:277-285).
+
+Layout note (documented divergence): the reference "reshape" of y_base from
+(N, h/8, w/8) to (N/64, h, w) is a raw channel-major memory reinterpretation
+(shared.py:185-189). We use a proper depth-to-space (pixel shuffle, r=8) —
+the same shape and information content, but a spatially-coherent
+rearrangement that is layout-natural in NHWC. No public checkpoints exist
+for the scalable family, so there is no conversion-fidelity constraint here.
+
+Forward returns stacked multi-quality outputs exactly like the reference
+(x_hat: (num_q, B, H, W, 3); base y likelihood counted once).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...entropy import (
+    EntropyBottleneck,
+    GaussianConditional,
+    gc_build_indexes,
+    quantize_symbols,
+)
+from ...nn import GDN, Conv, WinNoShiftAttention
+from ...ops.math import ste_round
+from ..wacnn import WACNN
+
+
+class ResWACNNSharedEntropy(WACNN):
+    """Two-layer scalable codec, shared prog hyper/cc plumbing."""
+
+    mask_policy: str = "learnable-mask"
+    lmbda_list: Tuple[float, ...] = (0.0035, 0.065)
+    lrp_prog: bool = True
+    independent_lrp: bool = False
+    multiple_decoder: bool = False
+
+    # progressive-input geometry (ref shared.py:38-42)
+    @property
+    def halve(self) -> int:
+        return 8
+
+    @property
+    def level(self) -> int:
+        """g_a split point: layers [:level+1] produce the ↓8 feature."""
+        return 5
+
+    @property
+    def factor(self) -> int:
+        return self.halve**2
+
+    @property
+    def T(self) -> int:
+        return self.N // self.factor + 3
+
+    @property
+    def scalable_levels(self) -> int:
+        return len(self.lmbda_list)
+
+    @property
+    def lmbda_index_list(self) -> Dict[float, int]:
+        return dict(zip(self.lmbda_list, range(len(self.lmbda_list))))
+
+    def setup(self):
+        super().setup()
+        N, M, dt = self.N, self.M, self.dtype
+        assert self.N % self.factor == 0
+
+        self.g_a_progressive = [
+            Conv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(dtype=dt),
+            Conv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(dtype=dt),
+            WinNoShiftAttention(dim=N, num_heads=8, window_size=8, shift_size=4, dtype=dt),
+            Conv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(dtype=dt),
+            Conv(M, kernel_size=5, stride=2, dtype=dt),
+        ]
+
+        self.entropy_bottleneck_prog = EntropyBottleneck(channels=N)
+        self.gaussian_conditional_prog = GaussianConditional()
+
+        if self.mask_policy == "learnable-mask":
+            self.gamma = self.param(
+                "gamma",
+                lambda k, s: jnp.ones(s, jnp.float32),
+                (self.scalable_levels - 1, M),
+            )
+            self.mask_conv = Conv(M, kernel_size=1, stride=1, dtype=dt)
+
+    # ---- overridable progressive plumbing (shared variant reuses base) ----
+
+    def _h_a_prog(self, y_prog: jax.Array) -> jax.Array:
+        return self._seq(self.h_a, y_prog)
+
+    def _hyper_synth_prog(self, z_hat_prog) -> Tuple[jax.Array, jax.Array]:
+        return (
+            self._seq(self.h_mean_s, z_hat_prog),
+            self._seq(self.h_scale_s, z_hat_prog),
+        )
+
+    def _cc_prog(self, i: int):
+        return self.cc_mean_transforms[i], self.cc_scale_transforms[i]
+
+    def _lrp_prog_stack(self, i: int):
+        return self.lrp_transforms[i]
+
+    # ---- geometry helpers ----
+
+    def split_ga(self, x: jax.Array, begin: bool = True) -> jax.Array:
+        """First/second half of g_a around the ↓8 feature (ref shared.py:118-124)."""
+        if begin:
+            return self._seq(self.g_a[: self.level + 1], x)
+        return self._seq(self.g_a[self.level + 1 :], x)
+
+    def concatenate(self, y_base: jax.Array, x: jax.Array) -> jax.Array:
+        """Rearrange y_base (↓8, N ch) to image res (N/64 ch) and concat x."""
+        from ...nn import pixel_shuffle
+
+        up = pixel_shuffle(y_base, self.halve)
+        return jnp.concatenate([up, x.astype(up.dtype)], axis=-1)
+
+    # ---- quality / mask handling ----
+
+    def normalize_quality(self, quality) -> float:
+        """Map a lambda value to its level index; pass through raw values."""
+        idx = self.lmbda_index_list
+        if quality in idx:
+            return idx[quality]
+        return quality
+
+    def define_quality(self, quality) -> list:
+        if quality is None:
+            return list(self.lmbda_list)
+        if isinstance(quality, (list, tuple)):
+            return list(quality)
+        return [quality]
+
+    def extract_mask(
+        self, scale: jax.Array, q: float, training: bool = False
+    ) -> jax.Array:
+        """Latent masking policies (ref shared.py:191-229); q is the
+        normalized level index (or a raw pr value for point-based-std)."""
+        if self.mask_policy == "point-based-std":
+            pr = q * 0.1
+            quantile = jnp.quantile(scale.astype(jnp.float32).ravel(), pr)
+            return (scale >= quantile).astype(jnp.float32)
+        if self.mask_policy == "learnable-mask":
+            if q == 0:
+                return jnp.zeros_like(scale)
+            if q == self.scalable_levels - 1:
+                return jnp.ones_like(scale)
+            importance = jnp.clip(self.mask_conv(scale) + 0.5, 0.0, 1.0)
+            gamma = jax.nn.relu(jnp.sum(self.gamma[: int(q)], axis=0))
+            mask = jnp.power(importance, gamma[None, None, None, :])
+            if training:
+                noise = jax.random.uniform(
+                    self.make_rng("noise"), mask.shape, mask.dtype, -0.5, 0.5
+                )
+                samples = mask + noise
+                return ste_round(samples)
+            return jnp.round(mask)
+        if self.mask_policy == "all-one":
+            return jnp.ones_like(scale)
+        if self.mask_policy == "all-zero":
+            return jnp.zeros_like(scale)
+        if self.mask_policy == "two-levels":
+            if q == 0:
+                return jnp.zeros_like(scale)
+            return jnp.ones_like(scale)
+        raise NotImplementedError(self.mask_policy)
+
+    # ---- multi-quality forward (training / entropy estimation) ----
+
+    def __call__(
+        self, x: jax.Array, quality=None, training: bool = False
+    ) -> Dict[str, Any]:
+        list_quality = self.define_quality(quality)
+
+        y_base = self.split_ga(x)
+        y = self.split_ga(y_base, begin=False)
+
+        y_progressive_support = self.concatenate(y_base, x)
+        y_progressive = self._seq(self.g_a_progressive, y_progressive_support)
+
+        z = self._seq(self.h_a, y)
+        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
+        medians = self.entropy_bottleneck.medians()
+        z_hat = ste_round(z - medians) + medians
+
+        latent_scales = self._seq(self.h_scale_s, z_hat)
+        latent_means = self._seq(self.h_mean_s, z_hat)
+
+        z_prog = self._h_a_prog(y_progressive)
+        _, z_likelihoods_prog = self.entropy_bottleneck_prog(
+            z_prog, training=training
+        )
+        medians_prog = self.entropy_bottleneck_prog.medians()
+        z_hat_prog = ste_round(z_prog - medians_prog) + medians_prog
+        means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
+
+        sc = self.slice_ch
+        y_likelihood_main = []
+        y_likelihoods_progressive = []
+        x_hats, y_hats = [], []
+
+        for j, p in enumerate(list_quality):
+            q = self.normalize_quality(p)
+
+            y_hat_slices, y_hat_prog, y_hat_complete = [], [], []
+            y_likelihood_prog = []
+
+            for i in range(self.num_slices):
+                y_slice = y[..., i * sc : (i + 1) * sc]
+                support = self._support(y_hat_slices)
+                mu, scale, mean_support = self._slice_mu_scale(
+                    i, latent_means, latent_scales, support
+                )
+                _, lik = self.gaussian_conditional(
+                    y_slice, scale, mu, training=training
+                )
+                if j == 0:
+                    y_likelihood_main.append(lik)
+
+                y_hat_slice = ste_round(y_slice - mu) + mu
+                y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
+                y_hat_slices.append(y_hat_slice)
+
+                if q != 0:
+                    y_prog_slice = y_progressive[..., i * sc : (i + 1) * sc]
+                    support_prog = self._support(y_hat_prog)
+                    mu_p, scale_p, mean_support_p = self._slice_mu_scale_prog(
+                        i, means_prog, scales_prog, support_prog
+                    )
+                    _, lik_p = self.gaussian_conditional_prog(
+                        y_prog_slice, scale_p, mu_p, training=training
+                    )
+                    y_likelihood_prog.append(lik_p)
+
+                    y_hat_p = ste_round(y_prog_slice - mu_p) + mu_p
+                    if self.lrp_prog:
+                        y_hat_p = y_hat_p + self._lrp_prog(
+                            i, mean_support_p, y_hat_p
+                        )
+                    y_hat_prog.append(y_hat_p)
+                    y_hat_complete.append(y_hat_slice + y_hat_p)
+                else:
+                    y_hat_complete.append(y_hat_slice)
+
+            y_hat_q = jnp.concatenate(y_hat_complete, axis=-1)
+            x_hat_q = self._synthesize_q(y_hat_q, q)
+            y_hats.append(y_hat_q)
+            x_hats.append(x_hat_q)
+            if q != 0:
+                y_likelihoods_progressive.append(
+                    jnp.concatenate(y_likelihood_prog, axis=-1)
+                )
+
+        x_hat_progressive = jnp.stack(x_hats, axis=0)
+        y_likelihoods = jnp.concatenate(y_likelihood_main, axis=-1)[None]
+        if y_likelihoods_progressive:
+            y_likelihoods_prog = jnp.stack(y_likelihoods_progressive, axis=0)
+        else:
+            y_likelihoods_prog = jnp.ones_like(y_likelihoods)
+
+        return {
+            "x_hat": x_hat_progressive,
+            "likelihoods": {
+                "y": y_likelihoods,
+                "z": z_likelihoods,
+                "z_prog": z_likelihoods_prog,
+                "y_prog": y_likelihoods_prog,
+            },
+            "y": jnp.stack(y_hats, axis=0),
+            "z_hat": z_hat,
+            "z_hat_prog": z_hat_prog,
+        }
+
+    # prog-side mu/scale (shared cc transforms; overridden in independent)
+    def _slice_mu_scale_prog(self, idx, means_prog, scales_prog, support):
+        mean_support = jnp.concatenate([means_prog] + support, axis=-1)
+        scale_support = jnp.concatenate([scales_prog] + support, axis=-1)
+        cc_mean, cc_scale = self._cc_prog(idx)
+        mu = self._seq(cc_mean, mean_support)
+        scale = self._seq(cc_scale, scale_support)
+        return mu, scale, mean_support
+
+    def _lrp_prog(self, idx, mean_support, y_hat_slice):
+        lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
+        lrp = self._seq(self._lrp_prog_stack(idx), lrp_support)
+        return 0.5 * jnp.tanh(lrp)
+
+    def _synthesize_q(self, y_hat: jax.Array, q) -> jax.Array:
+        """Decoder selection point; single decoder here (ref shared)."""
+        return self._seq(self.g_s, y_hat)
+
+    def aux_loss(self) -> jax.Array:
+        """Sum of both EB quantile losses (ref shared.py:77-87)."""
+        return (
+            self.entropy_bottleneck.aux_loss()
+            + self.entropy_bottleneck_prog.aux_loss()
+        )
+
+    # ---------------- codec device programs ----------------
+
+    def analyze_scalable(
+        self, x: jax.Array, with_prog: bool = True
+    ) -> Dict[str, jax.Array]:
+        """Encoder-private analysis: base + (optionally) progressive latents."""
+        y_base = self.split_ga(x)
+        y = self.split_ga(y_base, begin=False)
+        z = self._seq(self.h_a, y)
+        medians = self.entropy_bottleneck.medians()
+        out = {
+            "y": y,
+            "z_symbols": quantize_symbols(z, jnp.broadcast_to(medians, z.shape)),
+        }
+        if with_prog:
+            y_progressive = self._seq(
+                self.g_a_progressive, self.concatenate(y_base, x)
+            )
+            z_prog = self._h_a_prog(y_progressive)
+            medians_p = self.entropy_bottleneck_prog.medians()
+            out["y_prog"] = y_progressive
+            out["z_prog_symbols"] = quantize_symbols(
+                z_prog, jnp.broadcast_to(medians_p, z_prog.shape)
+            )
+        return out
+
+    def hyper_synthesis_prog(self, z_hat_prog: jax.Array):
+        means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
+        return means_prog, scales_prog
+
+    def slice_params_prog(
+        self, slice_index: int, means_prog, scales_prog, support
+    ):
+        mu, scale, _ = self._slice_mu_scale_prog(
+            slice_index, means_prog, scales_prog, list(support)
+        )
+        indexes = gc_build_indexes(scale, self._scale_table())
+        return mu, scale, indexes
+
+    def quantize_slice_prog(self, slice_index: int, y_prog, mu):
+        sc = self.slice_ch
+        y_slice = y_prog[..., slice_index * sc : (slice_index + 1) * sc]
+        return quantize_symbols(y_slice, mu)
+
+    def slice_reconstruct_prog(
+        self, slice_index: int, symbols, mu, means_prog, support
+    ):
+        y_hat = symbols.astype(jnp.float32) + mu
+        if self.lrp_prog:
+            mean_support = jnp.concatenate([means_prog] + list(support), axis=-1)
+            y_hat = y_hat + self._lrp_prog(slice_index, mean_support, y_hat)
+        return y_hat
+
+    def synthesize_scalable(self, y_hat: jax.Array, q_is_zero: bool) -> jax.Array:
+        return jnp.clip(self._synthesize_q(y_hat, 0 if q_is_zero else 1), 0.0, 1.0)

@@ -1,0 +1,123 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from resdsic_tpu.models import (
+    ResWACNNIndependentEntropy,
+    ResWACNNSharedEntropy,
+    ScalableCodec,
+)
+
+
+@pytest.fixture(scope="module")
+def ind_model():
+    """Tiny 'ind' config: N=64 (divisible by 64 for the prog input), M=64."""
+    model = ResWACNNIndependentEntropy(
+        N=64, M=64, num_slices=4, max_support_slices=2,
+        lmbda_list=(0.0035, 0.065), mask_policy="two-levels",
+    )
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)}, x
+    )
+    return model, params
+
+
+def test_scalable_forward_shapes(ind_model):
+    model, params = ind_model
+    x = jax.random.uniform(jax.random.key(2), (2, 64, 64, 3))
+    out = model.apply(
+        params, x, training=True, rngs={"noise": jax.random.key(3)}
+    )
+    # two quality levels stacked
+    assert out["x_hat"].shape == (2, 2, 64, 64, 3)
+    lik = out["likelihoods"]
+    assert lik["y"].shape == (1, 2, 4, 4, 64)
+    assert lik["z"].shape == (2, 1, 1, 64)
+    assert lik["z_prog"].shape == (2, 1, 1, 64)
+    # only quality!=0 level contributes prog likelihoods
+    assert lik["y_prog"].shape == (1, 2, 4, 4, 64)
+    for v in lik.values():
+        assert np.all(np.asarray(v) > 0)
+
+
+def test_scalable_forward_single_quality(ind_model):
+    model, params = ind_model
+    x = jax.random.uniform(jax.random.key(2), (1, 64, 64, 3))
+    out0 = model.apply(params, x, quality=0, training=False)
+    assert out0["x_hat"].shape == (1, 1, 64, 64, 3)
+    # q=0: y_prog likelihoods fall back to ones
+    np.testing.assert_array_equal(
+        np.asarray(out0["likelihoods"]["y_prog"]), 1.0
+    )
+    # lambda-value quality maps to its index
+    out1 = model.apply(params, x, quality=0.065, training=False)
+    assert out1["x_hat"].shape == (1, 1, 64, 64, 3)
+    assert np.any(np.asarray(out1["likelihoods"]["y_prog"]) != 1.0)
+
+
+def test_scalable_aux_loss_covers_both_ebs(ind_model):
+    model, params = ind_model
+
+    def loss_fn(p):
+        return model.apply({"params": p}, method="aux_loss")
+
+    g = jax.grad(loss_fn)(params["params"])
+    assert np.any(np.asarray(g["entropy_bottleneck"]["quantiles"]) != 0)
+    assert np.any(np.asarray(g["entropy_bottleneck_prog"]["quantiles"]) != 0)
+
+
+def test_scalable_codec_base_quality_roundtrip(ind_model):
+    model, params = ind_model
+    x = jax.random.uniform(jax.random.key(5), (1, 64, 64, 3))
+    codec = ScalableCodec(model, params)
+    codec.update()
+
+    out = codec.compress(x, quality=0, return_debug=True)
+    assert len(out["strings"]) == 2
+    rec = codec.decompress(out["strings"], out["shape"], quality=0, return_debug=True)
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+    )
+    assert rec["x_hat"].shape == (1, 64, 64, 3)
+
+
+def test_scalable_codec_progressive_roundtrip(ind_model):
+    model, params = ind_model
+    x = jax.random.uniform(jax.random.key(6), (1, 64, 64, 3))
+    codec = ScalableCodec(model, params)
+    codec.update()
+
+    out = codec.compress(x, quality=1, return_debug=True)
+    assert len(out["strings"]) == 4
+    assert len(out["strings"][3]) == model.num_slices  # per-slice prog strings
+    rec = codec.decompress(out["strings"], out["shape"], quality=1, return_debug=True)
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+    )
+
+    # progressive stream adds bits on top of base
+    base = codec.compress(x, quality=0)
+    bits_base = sum(len(s) for g in base["strings"] for s in g)
+    bits_full = sum(
+        len(s)
+        for g in out["strings"]
+        for s in (g if not isinstance(g[0], list) else [x for xs in g for x in xs])
+    )
+    assert bits_full > bits_base
+
+
+def test_shared_entropy_variant_builds_and_runs():
+    model = ResWACNNSharedEntropy(
+        N=64, M=64, num_slices=4, max_support_slices=2,
+        lmbda_list=(0.0035, 0.065), mask_policy="two-levels",
+    )
+    x = jax.random.uniform(jax.random.key(0), (1, 64, 64, 3))
+    params = model.init(
+        {"params": jax.random.key(1), "noise": jax.random.key(2)}, x
+    )
+    # shared variant has no independent prog hyperprior params
+    assert "h_a_prog_0" not in params["params"]
+    out = model.apply(params, x, quality=1, training=False)
+    assert out["x_hat"].shape == (1, 1, 64, 64, 3)
