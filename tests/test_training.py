@@ -1,0 +1,117 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from resdsic_tpu.models import WACNN, ResWACNNIndependentEntropy
+from resdsic_tpu.parallel import make_mesh, shard_batch
+from resdsic_tpu.training import (
+    RateDistortionLoss,
+    ReduceLROnPlateau,
+    ScalableRateDistortionLoss,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def test_rd_loss_values():
+    crit = RateDistortionLoss(lmbda=0.01)
+    x = jnp.zeros((1, 8, 8, 3))
+    out = {
+        "x_hat": jnp.full((1, 8, 8, 3), 0.1),
+        "likelihoods": {"y": jnp.full((1, 2, 2, 4), 0.5)},
+    }
+    r = crit(out, x)
+    # bpp: 16 symbols at 1 bit over 64 pixels = 0.25
+    np.testing.assert_allclose(float(r["bpp_loss"]), 0.25, rtol=1e-6)
+    np.testing.assert_allclose(float(r["mse_loss"]), 0.01, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(r["loss"]), 0.01 * 255**2 * 0.01 + 0.25, rtol=1e-6
+    )
+
+
+def test_scalable_rd_loss_decomposition():
+    crit = ScalableRateDistortionLoss(lmbda_list=[0.0035, 0.065])
+    x = jnp.zeros((2, 8, 8, 3))
+    nl = 2
+    out = {
+        "x_hat": jnp.full((nl, 2, 8, 8, 3), 0.1),
+        "likelihoods": {
+            "y": jnp.full((1, 2, 2, 2, 4), 0.5),
+            "z": jnp.full((2, 1, 1, 4), 0.5),
+            "y_prog": jnp.full((1, 2, 2, 2, 4), 0.25),
+            "z_prog": jnp.full((2, 1, 1, 4), 0.5),
+        },
+    }
+    r = crit(out, x)
+    num_pixels = 2 * 8 * 8
+    np.testing.assert_allclose(
+        float(r["bpp_main_base"]), 32 / num_pixels, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(r["bpp_main_scale"]), 64 / num_pixels, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(r["bpp_loss"]),
+        float(r["bpp_scalable"] + nl * r["bpp_base"]),
+        rtol=1e-6,
+    )
+    assert r["mse_loss"].shape == (nl,)
+
+
+def test_plateau_scheduler():
+    sched = ReduceLROnPlateau(1e-4, factor=0.3, patience=2)
+    assert sched.step(1.0) == 1e-4
+    for _ in range(2):
+        assert sched.step(1.0) == 1e-4  # bad epochs within patience
+    assert sched.step(1.0) == pytest.approx(3e-5)  # patience exceeded
+    assert sched.step(0.5) == pytest.approx(3e-5)  # improvement resets
+
+
+def test_train_step_cnn_single_device():
+    model = WACNN(N=32, M=64, num_slices=4, max_support_slices=2)
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    params = model.init({"params": jax.random.key(1), "noise": jax.random.key(2)}, x)
+    state = create_train_state(params)
+    crit = RateDistortionLoss(lmbda=0.01)
+    step = make_train_step(model, crit, donate=False)
+
+    s1, m1 = step(state, x, jax.random.key(3), 1e-4, 1e-3)
+    s2, m2 = step(s1, x, jax.random.key(4), 1e-4, 1e-3)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert int(s2.step) == 2
+    # params actually moved
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.params, s2.params,
+    )
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+    # quantiles moved too (aux optimizer)
+    q0 = state.params["params"]["entropy_bottleneck"]["quantiles"]
+    q2 = s2.params["params"]["entropy_bottleneck"]["quantiles"]
+    assert float(jnp.max(jnp.abs(q0 - q2))) > 0
+
+
+def test_train_step_scalable_on_mesh():
+    """Data-parallel train step over an 8-device CPU mesh."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    model = ResWACNNIndependentEntropy(
+        N=64, M=64, num_slices=2, max_support_slices=1,
+        lmbda_list=(0.0035, 0.065), mask_policy="two-levels",
+    )
+    x = jax.random.uniform(jax.random.key(0), (8, 64, 64, 3))
+    params = model.init({"params": jax.random.key(1), "noise": jax.random.key(2)}, x[:1])
+    state = create_train_state(params)
+    crit = ScalableRateDistortionLoss(lmbda_list=[0.0035, 0.065])
+    step = make_train_step(model, crit, mesh=mesh, donate=False)
+
+    xb = shard_batch(x, mesh)
+    s1, m1 = step(state, xb, jax.random.key(3), 1e-4, 1e-3)
+    assert np.isfinite(float(m1["loss"]))
+    assert "bpp_base" in m1 and "bpp_scalable" in m1
+
+    ev = make_eval_step(model, crit, mesh=mesh, quality=None)
+    em = ev(s1.params, xb)
+    assert np.isfinite(float(em["psnr"].mean()))
