@@ -1,0 +1,98 @@
+"""Benchmark: real-bitstream enc+dec throughput on Kodak-size images (768x512).
+
+Baseline (BASELINE.md): reference WACNN enc 0.12 s + dec 0.12 s per Kodak
+image on GPU → 0.24 s/image enc+dec. vs_baseline = baseline / ours (speedup).
+
+Prints ONE JSON line:
+  {"metric": "kodak_encdec_s_per_image", "value": ..., "unit": "s/image",
+   "vs_baseline": ...}
+
+Runs the full real codec path — jitted device programs + native rANS — with
+randomly initialized (untrained) weights; timing is representative because
+the compute path is weight-independent.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_S_PER_IMAGE = 0.24  # README.md:85 — 0.12 enc + 0.12 dec
+BATCH = 4
+N_IMAGES = 8  # per timed repetition (2 batches)
+H, W = 768, 512
+
+
+def make_images(n: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    small = rng.uniform(0, 1, (n, H // 8, W // 8, 3)).astype(np.float32)
+    imgs = np.kron(small, np.ones((1, 8, 8, 1), np.float32))
+    imgs += 0.03 * rng.standard_normal(imgs.shape).astype(np.float32)
+    return np.clip(imgs, 0, 1)
+
+
+def main():
+    import os
+
+    # persistent XLA compile cache — first round pays, later rounds reuse
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from resdsic_tpu.models import WACNN, WACNNCodec
+
+    model = WACNN()  # full-size: N=192, M=320, 10 slices
+    # init at small spatial size — params are spatially independent
+    t = time.perf_counter()
+    params = model.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    print(f"# init {time.perf_counter()-t:.1f}s", file=sys.stderr)
+    codec = WACNNCodec(model, params)
+    codec.update()
+
+    imgs = make_images(N_IMAGES)
+
+    # warmup (compile everything)
+    t = time.perf_counter()
+    out = codec.compress(jnp.asarray(imgs[:BATCH]))
+    print(f"# compress compile+run {time.perf_counter()-t:.1f}s", file=sys.stderr)
+    t = time.perf_counter()
+    codec.decompress(out["strings"], out["shape"])
+    print(f"# decompress compile+run {time.perf_counter()-t:.1f}s", file=sys.stderr)
+
+    # timed
+    t0 = time.perf_counter()
+    total_bytes = 0
+    for i in range(0, N_IMAGES, BATCH):
+        batch = jnp.asarray(imgs[i : i + BATCH])
+        out = codec.compress(batch)
+        rec = codec.decompress(out["strings"], out["shape"])
+        rec["x_hat"].block_until_ready()
+        total_bytes += sum(len(s) for g in out["strings"] for s in g)
+    elapsed = time.perf_counter() - t0
+
+    s_per_image = elapsed / N_IMAGES
+    bpp = total_bytes * 8 / (N_IMAGES * H * W)
+    result = {
+        "metric": "kodak_encdec_s_per_image",
+        "value": round(s_per_image, 5),
+        "unit": "s/image",
+        "vs_baseline": round(BASELINE_S_PER_IMAGE / s_per_image, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# detail: {elapsed:.3f}s total / {N_IMAGES} images, bpp={bpp:.3f} "
+        f"(untrained weights), batch={BATCH}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""CompressAI-style eval CLI (parity: src/compress/utils/eval_model/__main__.py).
+
+python -m resdsic_tpu.cli.eval_model -a cnn -p ckpt_dir -d ./kodak
+  → JSON results to stdout (psnr, ms-ssim, bpp, enc/dec time per image)
+
+Supports --entropy-estimation (likelihood bpp, no real coding) and loading
+either orbax checkpoints or reference torch .pth.tar files (auto-converted).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import _IMG_EXTS
+from ..models import ScalableCodec, WACNNCodec, get_model
+from ..ops.math import compute_padding, unpad_image
+from ..utils.functions import compute_msssim, compute_psnr, read_image
+
+
+def collect_images(rootpath: str):
+    return sorted(
+        str(p) for p in Path(rootpath).iterdir()
+        if p.suffix.lower() in _IMG_EXTS
+    )
+
+
+def load_model_and_params(arch: str, checkpoint: str, args):
+    model_cls = get_model(arch)
+    kwargs = {}
+    if arch != "cnn":
+        kwargs = dict(
+            lmbda_list=tuple(args.lambda_list),
+            mask_policy=args.mask_policy,
+        )
+    model = model_cls(**kwargs)
+
+    if checkpoint and checkpoint.endswith((".pth.tar", ".pth", ".pt")):
+        from ..utils.torch_convert import load_torch_checkpoint
+
+        params = load_torch_checkpoint(checkpoint)
+    elif checkpoint:
+        from ..utils.checkpoint import load_checkpoint
+
+        params = load_checkpoint(checkpoint)["params"]
+    else:
+        x0 = jnp.zeros((1, 256, 256, 3))
+        params = model.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)}, x0
+        )
+    return model, params
+
+
+def inference(codec, x, quality=None):
+    """Pad → compress → decompress → unpad with wall timing
+    (ref __main__.py:82-125)."""
+    h, w = x.shape[1:3]
+    pad, unpad = compute_padding(h, w, min_div=64)
+    x_padded = jnp.asarray(
+        np.pad(np.asarray(x), ((0, 0), (pad[2], pad[3]), (pad[0], pad[1]), (0, 0)))
+    )
+
+    kwargs = {} if quality is None else {"quality": quality}
+    start = time.time()
+    out_enc = codec.compress(x_padded, **kwargs)
+    enc_time = time.time() - start
+
+    start = time.time()
+    out_dec = codec.decompress(out_enc["strings"], out_enc["shape"], **kwargs)
+    jax.block_until_ready(out_dec["x_hat"])
+    dec_time = time.time() - start
+
+    x_hat = np.clip(unpad_image(np.asarray(out_dec["x_hat"]), unpad), 0, 1)
+    num_pixels = x.shape[0] * h * w
+
+    def nbytes(group):
+        if isinstance(group, (list, tuple)):
+            return sum(nbytes(g) for g in group)
+        return len(group)
+
+    bpp = nbytes(out_enc["strings"]) * 8.0 / num_pixels
+    ms = compute_msssim(jnp.asarray(np.asarray(x)), jnp.asarray(x_hat))
+    return {
+        "psnr": compute_psnr(np.asarray(x), x_hat),
+        "ms-ssim": ms,
+        "bpp": bpp,
+        "encoding_time": enc_time,
+        "decoding_time": dec_time,
+    }
+
+
+def inference_entropy_estimation(model, params, x, quality=None):
+    """Likelihood-based bpp, no real coding (ref __main__.py:128-147)."""
+    h, w = x.shape[1:3]
+    pad, unpad = compute_padding(h, w, min_div=64)
+    x_padded = jnp.asarray(
+        np.pad(np.asarray(x), ((0, 0), (pad[2], pad[3]), (pad[0], pad[1]), (0, 0)))
+    )
+    is_scalable = hasattr(model, "lmbda_list")
+    start = time.time()
+    if is_scalable:
+        out = model.apply(params, x_padded, quality=quality, training=False)
+        x_hat = out["x_hat"][0]
+    else:
+        out = model.apply(params, x_padded, training=False)
+        x_hat = out["x_hat"]
+    jax.block_until_ready(x_hat)
+    elapsed = time.time() - start
+
+    num_pixels = x.shape[0] * h * w
+    bpp = float(sum(
+        -jnp.sum(jnp.log2(l)) for l in out["likelihoods"].values()
+    )) / num_pixels
+    x_hat = np.clip(unpad_image(np.asarray(x_hat), unpad), 0, 1)
+    return {
+        "psnr": compute_psnr(np.asarray(x), x_hat),
+        "ms-ssim": compute_msssim(jnp.asarray(np.asarray(x)), jnp.asarray(x_hat)),
+        "bpp": bpp,
+        "encoding_time": elapsed / 2,
+        "decoding_time": elapsed / 2,
+    }
+
+
+def eval_model(model, params, filepaths, entropy_estimation=False, quality=None):
+    metrics = {}
+    codec = None
+    if not entropy_estimation:
+        codec_cls = ScalableCodec if hasattr(model, "lmbda_list") else WACNNCodec
+        codec = codec_cls(model, params)
+        codec.update(force=True)
+    for fp in filepaths:
+        x = read_image(fp)
+        if entropy_estimation:
+            rv = inference_entropy_estimation(model, params, x, quality)
+        else:
+            q = {} if not hasattr(model, "lmbda_list") else {"quality": quality or 0}
+            rv = inference(codec, x, **q)
+        for k, v in rv.items():
+            metrics.setdefault(k, 0.0)
+            metrics[k] += v
+    return {k: v / len(filepaths) for k, v in metrics.items()}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-d", "--dataset", required=True)
+    parser.add_argument("-a", "--arch", default="cnn")
+    parser.add_argument("-p", "--path", dest="checkpoint", default=None)
+    parser.add_argument("--entropy-estimation", action="store_true")
+    parser.add_argument("-q", "--quality", type=float, default=None)
+    parser.add_argument("--lambda_list", nargs="+", type=float,
+                        default=[0.0035, 0.065])
+    parser.add_argument("--mask_policy", default="two-levels")
+    args = parser.parse_args(argv)
+
+    filepaths = collect_images(args.dataset)
+    if not filepaths:
+        print("No images found", file=sys.stderr)
+        sys.exit(1)
+
+    model, params = load_model_and_params(args.arch, args.checkpoint, args)
+    metrics = eval_model(
+        model, params, filepaths, args.entropy_estimation, args.quality
+    )
+    out = {
+        "name": args.arch,
+        "description": (
+            f"Inference ({'entropy estimation' if args.entropy_estimation else 'ans'})"
+        ),
+        "results": metrics,
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

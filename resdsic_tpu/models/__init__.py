@@ -12,12 +12,23 @@ Registry keys:
 from __future__ import annotations
 
 from .codec import ScalableCodec, WACNNCodec
-from .scalable import ResWACNNIndependentEntropy, ResWACNNSharedEntropy
+from .scalable import (
+    ConditionalScalableICD,
+    ConditionalScalableIMD,
+    ResWACNNIndependentEntropy,
+    ResWACNNSharedEntropy,
+    ScalableICD,
+    ScalableIMD,
+)
 from .wacnn import WACNN
 
 models = {
     "cnn": WACNN,
     "ind": ResWACNNIndependentEntropy,
+    "icd": ScalableICD,
+    "imd": ScalableIMD,
+    "cicd": ConditionalScalableICD,
+    "cimd": ConditionalScalableIMD,
 }
 
 
@@ -42,17 +53,22 @@ def configure_model(args):
 
 
 def _scalable_kwargs(args):
-    kwargs = {}
-    for src, dst in [
+    name = getattr(args, "model", "ind")
+    fields = [
         ("lambda_list", "lmbda_list"),
         ("mask_policy", "mask_policy"),
         ("lrp_prog", "lrp_prog"),
         ("independent_lrp", "independent_lrp"),
-        ("multiple_decoder", "multiple_decoder"),
-        ("joiner_policy", "joiner_policy"),
-    ]:
+    ]
+    if name == "ind":
+        fields.append(("multiple_decoder", "multiple_decoder"))
+    if name in ("cicd", "cimd"):
+        fields.append(("joiner_policy", "joiner_policy"))
+    kwargs = {}
+    for src, dst in fields:
         if hasattr(args, src):
-            kwargs[dst] = getattr(args, src)
+            v = getattr(args, src)
+            kwargs[dst] = tuple(v) if isinstance(v, list) else v
     return kwargs
 
 
@@ -65,4 +81,8 @@ __all__ = [
     "ScalableCodec",
     "ResWACNNSharedEntropy",
     "ResWACNNIndependentEntropy",
+    "ScalableICD",
+    "ScalableIMD",
+    "ConditionalScalableICD",
+    "ConditionalScalableIMD",
 ]

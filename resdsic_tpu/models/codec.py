@@ -242,6 +242,18 @@ class ScalableCodec(WACNNCodec):
             functools.partial(model.apply, method="synthesize_scalable"),
             static_argnames=("q_is_zero",),
         )
+        self._mask_fn = jax.jit(
+            functools.partial(model.apply, method="compute_mask"),
+            static_argnames=("q",),
+        )
+        self._merge_fn = jax.jit(
+            functools.partial(model.apply, method="merge_slices"),
+            static_argnames=("slice_index",),
+        )
+        self._final_latent_fn = jax.jit(
+            functools.partial(model.apply, method="final_latent_device"),
+            static_argnames=("q_is_zero",),
+        )
 
     def update(self, force: bool = False) -> bool:
         if self.eb_table is not None and not force:
@@ -326,17 +338,29 @@ class ScalableCodec(WACNNCodec):
             for i in range(b)
         ]
 
+        mask = None
+        if self.model.uses_coding_mask:
+            mask = self._mask_fn(
+                self.params, latent_scales=latent_scales,
+                scales_prog=scales_prog, q=q,
+            )
+        sc = self.model.slice_ch
+
         y_hat_prog: List[jax.Array] = []
         progressive_strings: List[List[bytes]] = []
         for i in range(self.model.num_slices):
             support = tuple(y_hat_prog[: self.model.max_support_slices])
+            block_mask = (
+                mask[..., i * sc : (i + 1) * sc] if mask is not None else None
+            )
             mu_p, _, idx_p = self._slice_params_prog_fn(
                 self.params, slice_index=i,
                 means_prog=means_prog, scales_prog=scales_prog,
-                support=support,
+                support=support, block_mask=block_mask,
             )
             syms_p = self._quantize_prog_fn(
-                self.params, slice_index=i, y_prog=y_prog, mu=mu_p
+                self.params, slice_index=i, y_prog=y_prog, mu=mu_p,
+                block_mask=block_mask,
             )
             idx_np = np.asarray(idx_p)
             syms_np = np.asarray(syms_p)
@@ -361,12 +385,14 @@ class ScalableCodec(WACNNCodec):
             ],
         }
         if return_debug:
-            result["y_hat"] = jnp.concatenate(
-                [
-                    a + b_
-                    for a, b_ in zip(y_hat_slices, y_hat_prog)
-                ],
-                axis=-1,
+            complete = [
+                self._merge_fn(self.params, slice_index=i,
+                               y_main=y_hat_slices[i], y_prog=y_hat_prog[i])
+                for i in range(self.model.num_slices)
+            ]
+            result["y_hat"] = self._final_latent_fn(
+                self.params, y_hat_complete=tuple(complete),
+                y_hat_prog=tuple(y_hat_prog), q_is_zero=False,
             )
         return result
 
@@ -389,6 +415,7 @@ class ScalableCodec(WACNNCodec):
             d.set_stream(s)
             decoders.append(d)
 
+        mask = None
         if with_prog:
             z_strings_prog, progressive_strings = strings[2], strings[3]
             zp_h, zp_w = shape[-1]
@@ -404,6 +431,11 @@ class ScalableCodec(WACNNCodec):
             ).astype(np.float32)
             z_hat_prog = jnp.asarray(zp_sym + self._medians_prog)
             means_prog, scales_prog = self._hyper_prog_fn(self.params, z_hat_prog)
+            if self.model.uses_coding_mask:
+                mask = self._mask_fn(
+                    self.params, latent_scales=latent_scales,
+                    scales_prog=scales_prog, q=q,
+                )
 
         y_hat_slices: List[jax.Array] = []
         y_hat_prog: List[jax.Array] = []
@@ -430,10 +462,14 @@ class ScalableCodec(WACNNCodec):
 
             if with_prog:
                 support_p = tuple(y_hat_prog[: self.model.max_support_slices])
+                block_mask = (
+                    mask[..., i * sc : (i + 1) * sc]
+                    if mask is not None else None
+                )
                 mu_p, _, idx_p = self._slice_params_prog_fn(
                     self.params, slice_index=i,
                     means_prog=means_prog, scales_prog=scales_prog,
-                    support=support_p,
+                    support=support_p, block_mask=block_mask,
                 )
                 idxp_np = np.asarray(idx_p)
                 dec_p = RansDecoder()
@@ -450,11 +486,17 @@ class ScalableCodec(WACNNCodec):
                     mu=mu_p, means_prog=means_prog, support=support_p,
                 )
                 y_hat_prog.append(y_hat_p)
-                y_hat_complete.append(y_hat_slice + y_hat_p)
+                y_hat_complete.append(
+                    self._merge_fn(self.params, slice_index=i,
+                                   y_main=y_hat_slice, y_prog=y_hat_p)
+                )
             else:
                 y_hat_complete.append(y_hat_slice)
 
-        y_hat = jnp.concatenate(y_hat_complete, axis=-1)
+        y_hat = self._final_latent_fn(
+            self.params, y_hat_complete=tuple(y_hat_complete),
+            y_hat_prog=tuple(y_hat_prog), q_is_zero=not with_prog,
+        )
         x_hat = self._synth_scal_fn(self.params, y_hat, q_is_zero=not with_prog)
         out = {"x_hat": x_hat}
         if return_debug:

@@ -75,9 +75,9 @@ class ResWACNNIndependentEntropy(ResWACNNSharedEntropy):
             self.lrp_transforms_prog = [cc_stack() for _ in range(self.num_slices)]
 
         if self.multiple_decoder:
-            def decoder():
+            def decoder(dim):
                 return [
-                    WinNoShiftAttention(dim=M, num_heads=8, window_size=4, shift_size=2, dtype=dt),
+                    WinNoShiftAttention(dim=dim, num_heads=8, window_size=4, shift_size=2, dtype=dt),
                     Deconv(N, kernel_size=5, stride=2, dtype=dt),
                     GDN(inverse=True, dtype=dt),
                     Deconv(N, kernel_size=5, stride=2, dtype=dt),
@@ -88,7 +88,14 @@ class ResWACNNIndependentEntropy(ResWACNNSharedEntropy):
                     Deconv(3, kernel_size=5, stride=2, dtype=dt),
                 ]
 
-            self.g_s_multi = [decoder() for _ in range(2)]
+            # decoder input dim may differ per decoder (cimd concatenation:
+            # conditional_multiple_decoder.py:41 dimensions_M)
+            self.g_s_multi = [
+                decoder(self._decoder_dim(i)) for i in range(2)
+            ]
+
+    def _decoder_dim(self, decoder_index: int) -> int:
+        return self.M
 
     # ---- independent progressive plumbing (overrides shared reuse) ----
 

@@ -221,6 +221,10 @@ class ResWACNNSharedEntropy(WACNN):
         for j, p in enumerate(list_quality):
             q = self.normalize_quality(p)
 
+            # coding-mask hook — None in shared/ind (mask dead in coding,
+            # ref independent.py:401-404), a real mask in the icd family
+            mask = self._prog_mask(latent_scales, scales_prog, q, training)
+
             y_hat_slices, y_hat_prog, y_hat_complete = [], [], []
             y_likelihood_prog = []
 
@@ -246,22 +250,32 @@ class ResWACNNSharedEntropy(WACNN):
                     mu_p, scale_p, mean_support_p = self._slice_mu_scale_prog(
                         i, means_prog, scales_prog, support_prog
                     )
-                    _, lik_p = self.gaussian_conditional_prog(
-                        y_prog_slice, scale_p, mu_p, training=training
-                    )
+                    if mask is not None:
+                        block_mask = mask[..., i * sc : (i + 1) * sc]
+                        _, lik_p = self.gaussian_conditional_prog(
+                            y_prog_slice, scale_p * block_mask, mu_p,
+                            training=training,
+                        )
+                        y_hat_p = (
+                            ste_round(y_prog_slice - mu_p) * block_mask + mu_p
+                        )
+                    else:
+                        _, lik_p = self.gaussian_conditional_prog(
+                            y_prog_slice, scale_p, mu_p, training=training
+                        )
+                        y_hat_p = ste_round(y_prog_slice - mu_p) + mu_p
                     y_likelihood_prog.append(lik_p)
 
-                    y_hat_p = ste_round(y_prog_slice - mu_p) + mu_p
                     if self.lrp_prog:
                         y_hat_p = y_hat_p + self._lrp_prog(
                             i, mean_support_p, y_hat_p
                         )
                     y_hat_prog.append(y_hat_p)
-                    y_hat_complete.append(y_hat_slice + y_hat_p)
+                    y_hat_complete.append(self._merge(y_hat_slice, y_hat_p, i))
                 else:
                     y_hat_complete.append(y_hat_slice)
 
-            y_hat_q = jnp.concatenate(y_hat_complete, axis=-1)
+            y_hat_q = self._final_latent(y_hat_complete, y_hat_prog, q)
             x_hat_q = self._synthesize_q(y_hat_q, q)
             y_hats.append(y_hat_q)
             x_hats.append(x_hat_q)
@@ -289,6 +303,20 @@ class ResWACNNSharedEntropy(WACNN):
             "z_hat": z_hat,
             "z_hat_prog": z_hat_prog,
         }
+
+    # ---- overridable coding hooks (icd/cicd families override) ----
+
+    def _prog_mask(self, latent_scales, scales_prog, q, training):
+        """Coding mask; None = mask not applied (shared/ind variants)."""
+        return None
+
+    def _merge(self, y_hat_slice, y_hat_prog_slice, slice_index: int):
+        """Base+prog slice combination; cicd overrides with joiner policies."""
+        return y_hat_slice + y_hat_prog_slice
+
+    def _final_latent(self, y_hat_complete, y_hat_prog, q):
+        """Final latent fed to g_s; cimd 'concatenation' overrides."""
+        return jnp.concatenate(y_hat_complete, axis=-1)
 
     # prog-side mu/scale (shared cc transforms; overridden in independent)
     def _slice_mu_scale_prog(self, idx, means_prog, scales_prog, support):
@@ -346,18 +374,42 @@ class ResWACNNSharedEntropy(WACNN):
         return means_prog, scales_prog
 
     def slice_params_prog(
-        self, slice_index: int, means_prog, scales_prog, support
+        self, slice_index: int, means_prog, scales_prog, support,
+        block_mask=None,
     ):
         mu, scale, _ = self._slice_mu_scale_prog(
             slice_index, means_prog, scales_prog, list(support)
         )
+        if block_mask is not None:
+            scale = scale * block_mask
         indexes = gc_build_indexes(scale, self._scale_table())
         return mu, scale, indexes
 
-    def quantize_slice_prog(self, slice_index: int, y_prog, mu):
+    def quantize_slice_prog(self, slice_index: int, y_prog, mu, block_mask=None):
         sc = self.slice_ch
         y_slice = y_prog[..., slice_index * sc : (slice_index + 1) * sc]
+        if block_mask is not None:
+            # icd semantics (single_decoder.py:613-620): quantize the MASKED
+            # zero-mean residual
+            return quantize_symbols((y_slice - mu) * block_mask)
         return quantize_symbols(y_slice, mu)
+
+    def compute_mask(self, latent_scales, scales_prog, q) -> jax.Array:
+        """Rounded coding mask for the codec driver (icd family)."""
+        raise NotImplementedError("model has no coding mask")
+
+    def merge_slices(self, slice_index: int, y_main, y_prog):
+        """Jittable merge for the decoder (cicd overrides via _merge)."""
+        return self._merge(y_main, y_prog, slice_index)
+
+    def final_latent_device(self, y_hat_complete, y_hat_prog, q_is_zero: bool):
+        return self._final_latent(
+            list(y_hat_complete), list(y_hat_prog), 0 if q_is_zero else 1
+        )
+
+    @property
+    def uses_coding_mask(self) -> bool:
+        return False
 
     def slice_reconstruct_prog(
         self, slice_index: int, symbols, mu, means_prog, support
