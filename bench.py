@@ -49,7 +49,7 @@ def main():
     model = WACNN()  # full-size: N=192, M=320, 10 slices
     # init at small spatial size — params are spatially independent
     t = time.perf_counter()
-    params = model.init(
+    params = jax.jit(model.init)(
         {"params": jax.random.key(0), "noise": jax.random.key(1)},
         jnp.zeros((1, 64, 64, 3), jnp.float32),
     )

@@ -53,7 +53,7 @@ def load_model_and_params(arch: str, checkpoint: str, args):
         params = load_checkpoint(checkpoint)["params"]
     else:
         x0 = jnp.zeros((1, 256, 256, 3))
-        params = model.init(
+        params = jax.jit(model.init)(
             {"params": jax.random.key(0), "noise": jax.random.key(1)}, x0
         )
     return model, params

@@ -80,7 +80,7 @@ def main(argv=None):
     model = configure_model(args)
     is_scalable = args.model != "cnn"
     x0 = jnp.zeros((1, args.patch_size, args.patch_size, 3))
-    params = model.init(
+    params = jax.jit(model.init)(
         {"params": jax.random.key(args.seed), "noise": jax.random.key(args.seed + 1)},
         x0,
     )

@@ -291,7 +291,7 @@ class ResWACNNSharedEntropy(WACNN):
         else:
             y_likelihoods_prog = jnp.ones_like(y_likelihoods)
 
-        return {
+        out = {
             "x_hat": x_hat_progressive,
             "likelihoods": {
                 "y": y_likelihoods,
@@ -299,10 +299,14 @@ class ResWACNNSharedEntropy(WACNN):
                 "z_prog": z_likelihoods_prog,
                 "y_prog": y_likelihoods_prog,
             },
-            "y": jnp.stack(y_hats, axis=0),
             "z_hat": z_hat,
             "z_hat_prog": z_hat_prog,
         }
+        # per-quality latents can differ in width (cimd 'concatenation');
+        # only stack when homogeneous
+        if len({v.shape for v in y_hats}) == 1:
+            out["y"] = jnp.stack(y_hats, axis=0)
+        return out
 
     # ---- overridable coding hooks (icd/cicd families override) ----
 

@@ -106,7 +106,10 @@ class Mask(nn.Module):
                 return jnp.zeros_like(scale)
             if pr == self.scalable_levels - 1:
                 return jnp.ones_like(scale)
-            lv = self.M - 32 * int(pr) * 2
+            # channel-block progressive; the reference hardcodes 32-wide
+            # blocks for M=320 (mask_layer.py:122) — scale proportionally
+            block = max(1, self.M // 10)
+            lv = max(0, self.M - block * int(pr) * 2)
             mask = jnp.zeros_like(scale)
             return mask.at[..., lv:].set(1.0)
 
