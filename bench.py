@@ -23,8 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_S_PER_IMAGE = 0.24  # README.md:85 — 0.12 enc + 0.12 dec
-BATCH = 4
-N_IMAGES = 8  # per timed repetition (2 batches)
+BATCH = 8
+N_IMAGES = 16  # per timed repetition (2 batches)
 H, W = 768, 512
 
 

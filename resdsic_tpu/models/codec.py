@@ -45,6 +45,21 @@ class WACNNCodec:
             functools.partial(model.apply, method="quantize_slice"),
             static_argnames=("slice_index",),
         )
+        # fused single-dispatch programs (tunnel-dispatch overhead dominates
+        # on axon; bit-equality with the stepped path is verified by selftest)
+        self._encode_fn = jax.jit(
+            functools.partial(model.apply, method="encode_device")
+        )
+        self._decode_begin_fn = jax.jit(
+            functools.partial(model.apply, method="decode_begin")
+        )
+        self._decode_step_fn = jax.jit(
+            functools.partial(model.apply, method="decode_step"),
+            static_argnames=("slice_index",),
+        )
+        self._decode_end_fn = jax.jit(
+            functools.partial(model.apply, method="decode_end")
+        )
         self._hyper_fn = jax.jit(
             functools.partial(model.apply, method="hyper_synthesis")
         )
@@ -78,10 +93,42 @@ class WACNNCodec:
     def compress(self, x: jax.Array, return_debug: bool = False) -> Dict[str, Any]:
         """x: (B, H, W, 3) in [0,1], H and W multiples of 64.
 
-        Drives the SAME shared device programs as decompress() for all
-        decoder-recomputed values (see wacnn.py determinism note); only
-        analyze() and per-slice quantization are encoder-private.
+        Fused path: ONE device dispatch computes z/y symbols and indexes;
+        the native rANS coder turns them into per-image streams.
         """
+        self._check_updated()
+        out = self._encode_fn(self.params, x)
+        for k in ("z_symbols", "y_symbols", "y_indexes"):
+            out[k].copy_to_host_async()
+        z_symbols = np.asarray(out["z_symbols"])
+        y_symbols = np.asarray(out["y_symbols"])
+        y_indexes = np.asarray(out["y_indexes"])
+        b = z_symbols.shape[0]
+
+        z_idx = eb_build_indexes(z_symbols.shape, z_symbols.shape[-1])
+        enc = RansEncoder()
+        z_strings = [
+            enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table)
+            for i in range(b)
+        ]
+        y_strings = [
+            enc.encode_with_indexes(y_symbols[i], y_indexes[i], self.gc_table)
+            for i in range(b)
+        ]
+        result = {
+            "strings": [y_strings, z_strings],
+            "shape": tuple(z_symbols.shape[1:3]),
+        }
+        if return_debug:
+            result["y_hat"] = out["y_hat"]
+        return result
+
+    def compress_stepped(
+        self, x: jax.Array, return_debug: bool = False
+    ) -> Dict[str, Any]:
+        """Stepped reference path: drives the SAME shared device programs as
+        decompress() slice by slice. Used by selftest() to validate the fused
+        path's bit-exactness on the current backend."""
         self._check_updated()
         y, z_symbols_dev = self._analyze_fn(self.params, x)
         z_symbols = np.asarray(z_symbols_dev)
@@ -154,14 +201,17 @@ class WACNNCodec:
         return jnp.asarray(z_sym + self._medians)
 
     def decompress(self, strings, shape, return_debug: bool = False) -> Dict[str, Any]:
+        """Fused path: decode_begin + (num_slices-1) decode_steps +
+        decode_end — one dispatch per slice instead of two, with the native
+        rANS decode interleaved on the host."""
         self._check_updated()
         y_strings, z_strings = strings[0], strings[1]
         z_hat = self._decode_z(z_strings, shape)
-        latent_means, latent_scales = self._hyper_fn(self.params, z_hat)
 
         b = z_hat.shape[0]
         yh, yw = shape[0] * 4, shape[1] * 4
         sc = self.model.slice_ch
+        ns = self.model.num_slices
 
         decoders = []
         for s in y_strings:
@@ -169,39 +219,59 @@ class WACNNCodec:
             d.set_stream(s)
             decoders.append(d)
 
-        y_hat_slices: List[jax.Array] = []
-        for i in range(self.model.num_slices):
-            support = tuple(y_hat_slices[: self.model.max_support_slices])
-            mu, _, indexes = self._slice_params_fn(
+        latent_means, latent_scales, mu, indexes = self._decode_begin_fn(
+            self.params, z_hat
+        )
+
+        def decode_syms(idx_dev):
+            idx_np = np.asarray(idx_dev)
+            return jnp.asarray(
+                np.stack(
+                    [
+                        decoders[j].decode_stream(idx_np[j], self.gc_table)
+                        for j in range(b)
+                    ]
+                ).reshape(b, yh, yw, sc)
+            )
+
+        slices: List[jax.Array] = []
+        for i in range(ns - 1):
+            syms = decode_syms(indexes)
+            y_prev, mu, indexes = self._decode_step_fn(
                 self.params,
-                slice_index=i,
+                slice_index=i + 1,
+                symbols_prev=syms,
+                mu_prev=mu,
                 latent_means=latent_means,
                 latent_scales=latent_scales,
-                support=support,
+                support=tuple(slices[: self.model.max_support_slices]),
             )
-            idx_np = np.asarray(indexes)
-            syms = np.stack(
-                [
-                    decoders[j].decode_stream(idx_np[j], self.gc_table)
-                    for j in range(b)
-                ]
-            ).reshape(b, yh, yw, sc)
-            y_hat_slice = self._slice_rec_fn(
-                self.params,
-                slice_index=i,
-                symbols=jnp.asarray(syms),
-                mu=mu,
-                latent_means=latent_means,
-                support=support,
-            )
-            y_hat_slices.append(y_hat_slice)
+            slices.append(y_prev)
 
-        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = self._synth_fn(self.params, y_hat)
+        syms = decode_syms(indexes)
+        x_hat, y_hat = self._decode_end_fn(
+            self.params,
+            symbols=syms,
+            mu=mu,
+            latent_means=latent_means,
+            slices=tuple(slices),
+        )
         out = {"x_hat": x_hat}
         if return_debug:
             out["y_hat"] = y_hat
         return out
+
+    def selftest(self, x: jax.Array) -> None:
+        """Verify fused-vs-stepped bit-exactness and roundtrip integrity on
+        the CURRENT backend (fusion-context numerics are empirical)."""
+        fused = self.compress(x, return_debug=True)
+        stepped = self.compress_stepped(x, return_debug=True)
+        for a, b in zip(fused["strings"], stepped["strings"]):
+            if list(a) != list(b):
+                raise AssertionError("fused/stepped streams differ")
+        rec = self.decompress(fused["strings"], fused["shape"], return_debug=True)
+        if not np.array_equal(np.asarray(rec["y_hat"]), np.asarray(fused["y_hat"])):
+            raise AssertionError("decode did not reproduce encoder latents")
 
 
 class ScalableCodec(WACNNCodec):
@@ -246,6 +316,22 @@ class ScalableCodec(WACNNCodec):
             functools.partial(model.apply, method="compute_mask"),
             static_argnames=("q",),
         )
+        self._encode_scal_fn = jax.jit(
+            functools.partial(model.apply, method="encode_device_scalable"),
+            static_argnames=("q",),
+        )
+        self._decode_begin_scal_fn = jax.jit(
+            functools.partial(model.apply, method="decode_begin_scalable"),
+            static_argnames=("q",),
+        )
+        self._decode_step_scal_fn = jax.jit(
+            functools.partial(model.apply, method="decode_step_scalable"),
+            static_argnames=("slice_index",),
+        )
+        self._decode_end_scal_fn = jax.jit(
+            functools.partial(model.apply, method="decode_end_scalable"),
+            static_argnames=("q",),
+        )
         self._merge_fn = jax.jit(
             functools.partial(model.apply, method="merge_slices"),
             static_argnames=("slice_index",),
@@ -270,6 +356,70 @@ class ScalableCodec(WACNNCodec):
         return self.model.normalize_quality(quality)
 
     def compress(self, x: jax.Array, quality=0.0, return_debug: bool = False):
+        """Fused path: one device dispatch for the full (base+prog) encode."""
+        self._check_updated()
+        q = self._normalize_quality(quality)
+        with_prog = q != 0
+
+        out = self._encode_scal_fn(self.params, x, q=q)
+        for k, v in out.items():
+            if k != "y_hat":
+                v.copy_to_host_async()
+        z_symbols = np.asarray(out["z_symbols"])
+        y_symbols = np.asarray(out["y_symbols"])
+        y_indexes = np.asarray(out["y_indexes"])
+        b = z_symbols.shape[0]
+
+        z_idx = eb_build_indexes(z_symbols.shape, z_symbols.shape[-1])
+        enc = RansEncoder()
+        z_strings = [
+            enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table)
+            for i in range(b)
+        ]
+        y_strings = [
+            enc.encode_with_indexes(y_symbols[i], y_indexes[i], self.gc_table)
+            for i in range(b)
+        ]
+        if not with_prog:
+            result = {
+                "strings": [y_strings, z_strings],
+                "shape": [tuple(z_symbols.shape[1:3])],
+            }
+            if return_debug:
+                result["y_hat"] = out["y_hat"]
+            return result
+
+        zp_symbols = np.asarray(out["z_prog_symbols"])
+        yp_symbols = np.asarray(out["y_prog_symbols"])
+        yp_indexes = np.asarray(out["y_prog_indexes"])
+        zp_idx = eb_build_indexes(zp_symbols.shape, zp_symbols.shape[-1])
+        z_strings_prog = [
+            enc.encode_with_indexes(zp_symbols[i], zp_idx[i], self.eb_prog_table)
+            for i in range(b)
+        ]
+        progressive_strings = [
+            [
+                enc.encode_with_indexes(
+                    yp_symbols[j, i], yp_indexes[j, i], self.gc_table
+                )
+                for j in range(b)
+            ]
+            for i in range(self.model.num_slices)
+        ]
+        result = {
+            "strings": [y_strings, z_strings, z_strings_prog, progressive_strings],
+            "shape": [
+                tuple(z_symbols.shape[1:3]),
+                tuple(zp_symbols.shape[1:3]),
+            ],
+        }
+        if return_debug:
+            result["y_hat"] = out["y_hat"]
+        return result
+
+    def compress_stepped(self, x: jax.Array, quality=0.0, return_debug: bool = False):
+        """Stepped reference path (shared per-slice programs); selftest
+        validates the fused path against this."""
         self._check_updated()
         q = self._normalize_quality(quality)
         with_prog = q != 0
@@ -397,6 +547,126 @@ class ScalableCodec(WACNNCodec):
         return result
 
     def decompress(self, strings, shape, quality=0.0, return_debug: bool = False):
+        """Fused path: one dispatch per slice (both branches fused)."""
+        self._check_updated()
+        q = self._normalize_quality(quality)
+        with_prog = q != 0
+
+        if not with_prog:
+            # base-only: reuse the WACNN fused decode (decoder selection via
+            # _synthesize_q handles multiple_decoder models)
+            out = super().decompress(strings, shape[0], return_debug=return_debug)
+            return out
+
+        y_strings, z_strings = strings[0], strings[1]
+        z_strings_prog, progressive_strings = strings[2], strings[3]
+        z_hat = self._decode_z(z_strings, shape[0])
+
+        zp_h, zp_w = shape[-1]
+        c = self.model.N
+        zp_idx = eb_build_indexes((1, zp_h, zp_w, c), c)[0]
+        dec1 = RansDecoder()
+        zp_sym = np.stack(
+            [
+                dec1.decode_with_indexes(s, zp_idx, self.eb_prog_table)
+                .reshape(zp_h, zp_w, c)
+                for s in z_strings_prog
+            ]
+        ).astype(np.float32)
+        z_hat_prog = jnp.asarray(zp_sym + self._medians_prog)
+
+        b = z_hat.shape[0]
+        yh, yw = shape[0][0] * 4, shape[0][1] * 4
+        sc = self.model.slice_ch
+        ns = self.model.num_slices
+        max_s = self.model.max_support_slices
+
+        decoders = []
+        for s in y_strings:
+            d = RansDecoder()
+            d.set_stream(s)
+            decoders.append(d)
+
+        (lm, ls, mu, idx, mp, sp, mu_p, idx_p, mask) = (
+            self._decode_begin_scal_fn(self.params, z_hat, z_hat_prog, q=q)
+        )
+
+        def decode_base(idx_dev):
+            idx_np = np.asarray(idx_dev)
+            return jnp.asarray(
+                np.stack(
+                    [
+                        decoders[j].decode_stream(idx_np[j], self.gc_table)
+                        for j in range(b)
+                    ]
+                ).reshape(b, yh, yw, sc)
+            )
+
+        def decode_prog(i, idx_dev):
+            idx_np = np.asarray(idx_dev)
+            dec_p = RansDecoder()
+            return jnp.asarray(
+                np.stack(
+                    [
+                        dec_p.decode_with_indexes(
+                            progressive_strings[i][j], idx_np[j], self.gc_table
+                        )
+                        for j in range(b)
+                    ]
+                ).reshape(b, yh, yw, sc)
+            )
+
+        slices: List[jax.Array] = []
+        slices_prog: List[jax.Array] = []
+        for i in range(ns - 1):
+            syms = decode_base(idx)
+            syms_p = decode_prog(i, idx_p)
+            y_prev, yp_prev, mu, idx, mu_p, idx_p = self._decode_step_scal_fn(
+                self.params, slice_index=i + 1,
+                symbols_prev=syms, mu_prev=mu,
+                symbols_prev_prog=syms_p, mu_prev_prog=mu_p,
+                latent_means=lm, latent_scales=ls,
+                means_prog=mp, scales_prog=sp,
+                support=tuple(slices[:max_s]),
+                support_prog=tuple(slices_prog[:max_s]),
+                mask=mask,
+            )
+            slices.append(y_prev)
+            slices_prog.append(yp_prev)
+
+        syms = decode_base(idx)
+        syms_p = decode_prog(ns - 1, idx_p)
+        x_hat, y_hat = self._decode_end_scal_fn(
+            self.params,
+            symbols=syms, mu=mu, symbols_prog=syms_p, mu_prog=mu_p,
+            latent_means=lm, means_prog=mp,
+            slices=tuple(slices), slices_prog=tuple(slices_prog),
+            q=q,
+        )
+        out = {"x_hat": x_hat}
+        if return_debug:
+            out["y_hat"] = y_hat
+        return out
+
+    def selftest(self, x: jax.Array, quality=1) -> None:
+        """Fused-vs-stepped stream equality + roundtrip integrity."""
+        fused = self.compress(x, quality=quality, return_debug=True)
+        stepped = self.compress_stepped(x, quality=quality, return_debug=True)
+
+        def flat(group):
+            if isinstance(group, (list, tuple)):
+                return [s for g in group for s in flat(g)]
+            return [group]
+
+        if flat(fused["strings"]) != flat(stepped["strings"]):
+            raise AssertionError("fused/stepped scalable streams differ")
+        rec = self.decompress(
+            fused["strings"], fused["shape"], quality=quality, return_debug=True
+        )
+        if not np.array_equal(np.asarray(rec["y_hat"]), np.asarray(fused["y_hat"])):
+            raise AssertionError("scalable decode did not reproduce encoder latents")
+
+    def decompress_stepped(self, strings, shape, quality=0.0, return_debug: bool = False):
         self._check_updated()
         q = self._normalize_quality(quality)
         with_prog = q != 0

@@ -395,8 +395,8 @@ class ResWACNNSharedEntropy(WACNN):
         if block_mask is not None:
             # icd semantics (single_decoder.py:613-620): quantize the MASKED
             # zero-mean residual
-            return quantize_symbols((y_slice - mu) * block_mask)
-        return quantize_symbols(y_slice, mu)
+            return jnp.clip(quantize_symbols((y_slice - mu) * block_mask), -127, 127)
+        return jnp.clip(quantize_symbols(y_slice, mu), -127, 127)
 
     def compute_mask(self, latent_scales, scales_prog, q) -> jax.Array:
         """Rounded coding mask for the codec driver (icd family)."""
@@ -426,3 +426,192 @@ class ResWACNNSharedEntropy(WACNN):
 
     def synthesize_scalable(self, y_hat: jax.Array, q_is_zero: bool) -> jax.Array:
         return jnp.clip(self._synthesize_q(y_hat, 0 if q_is_zero else 1), 0.0, 1.0)
+
+    # ---------------- fused codec programs (single-dispatch) ----------------
+    # Same rationale as WACNN.encode_device / decode_*: tunnel dispatch
+    # overhead dominates, so base and progressive branches run in ONE program
+    # per step; bit-equality with the stepped path is selftest-verified.
+
+    def encode_device_scalable(self, x: jax.Array, q) -> Dict[str, jax.Array]:
+        """Fused full encoder for quality level q (static)."""
+        y_base = self.split_ga(x)
+        y = self.split_ga(y_base, begin=False)
+        z = self._seq(self.h_a, y)
+        medians = self.entropy_bottleneck.medians()
+        z_symbols = quantize_symbols(z, jnp.broadcast_to(medians, z.shape))
+        z_hat = z_symbols.astype(jnp.float32) + medians
+        latent_scales = self._seq(self.h_scale_s, z_hat)
+        latent_means = self._seq(self.h_mean_s, z_hat)
+
+        table = self._scale_table()
+        sc = self.slice_ch
+        with_prog = q != 0
+
+        out: Dict[str, jax.Array] = {"z_symbols": z_symbols.astype(jnp.int16)}
+
+        if with_prog:
+            y_progressive = self._seq(
+                self.g_a_progressive, self.concatenate(y_base, x)
+            )
+            z_prog = self._h_a_prog(y_progressive)
+            medians_p = self.entropy_bottleneck_prog.medians()
+            zp_symbols = quantize_symbols(
+                z_prog, jnp.broadcast_to(medians_p, z_prog.shape)
+            )
+            z_hat_prog = zp_symbols.astype(jnp.float32) + medians_p
+            means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
+            out["z_prog_symbols"] = zp_symbols.astype(jnp.int16)
+            mask = (
+                jnp.round(
+                    self.masking(latent_scales, scale_prog=scales_prog, pr=q)
+                )
+                if self.uses_coding_mask
+                else None
+            )
+
+        y_hat_slices, sym_slices, idx_slices = [], [], []
+        yp_hat_slices, psym_slices, pidx_slices = [], [], []
+        for i in range(self.num_slices):
+            y_slice = y[..., i * sc : (i + 1) * sc]
+            support = self._support(y_hat_slices)
+            mu, scale, mean_support = self._slice_mu_scale(
+                i, latent_means, latent_scales, support
+            )
+            idx_slices.append(gc_build_indexes(scale, table))
+            y_q = jnp.clip(quantize_symbols(y_slice, mu), -127, 127)
+            sym_slices.append(y_q)
+            y_hat_slice = y_q.astype(jnp.float32) + mu
+            y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+            if with_prog:
+                yp_slice = y_progressive[..., i * sc : (i + 1) * sc]
+                support_p = self._support(yp_hat_slices)
+                mu_p, scale_p, mean_support_p = self._slice_mu_scale_prog(
+                    i, means_prog, scales_prog, support_p
+                )
+                if mask is not None:
+                    block_mask = mask[..., i * sc : (i + 1) * sc]
+                    pidx_slices.append(
+                        gc_build_indexes(scale_p * block_mask, table)
+                    )
+                    q_p = jnp.clip(
+                        quantize_symbols((yp_slice - mu_p) * block_mask),
+                        -127, 127,
+                    )
+                else:
+                    pidx_slices.append(gc_build_indexes(scale_p, table))
+                    q_p = jnp.clip(quantize_symbols(yp_slice, mu_p), -127, 127)
+                psym_slices.append(q_p)
+                yp_hat = q_p.astype(jnp.float32) + mu_p
+                if self.lrp_prog:
+                    yp_hat = yp_hat + self._lrp_prog(i, mean_support_p, yp_hat)
+                yp_hat_slices.append(yp_hat)
+
+        out["y_symbols"] = jnp.stack(sym_slices, axis=1).astype(jnp.int8)
+        out["y_indexes"] = jnp.stack(idx_slices, axis=1).astype(jnp.uint8)
+        if with_prog:
+            out["y_prog_symbols"] = jnp.stack(psym_slices, axis=1).astype(jnp.int8)
+            out["y_prog_indexes"] = jnp.stack(pidx_slices, axis=1).astype(jnp.uint8)
+            complete = [
+                self._merge(a, b, i)
+                for i, (a, b) in enumerate(zip(y_hat_slices, yp_hat_slices))
+            ]
+            out["y_hat"] = self._final_latent(complete, yp_hat_slices, q)
+        else:
+            out["y_hat"] = jnp.concatenate(y_hat_slices, axis=-1)
+        return out
+
+    def decode_begin_scalable(self, z_hat, z_hat_prog, q):
+        """Fused: both hyper syntheses + mask + slice-0 params (both
+        branches)."""
+        latent_means = self._seq(self.h_mean_s, z_hat)
+        latent_scales = self._seq(self.h_scale_s, z_hat)
+        mu0, scale0, _ = self._slice_mu_scale(0, latent_means, latent_scales, [])
+        idx0 = gc_build_indexes(scale0, self._scale_table()).astype(jnp.uint8)
+
+        means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
+        mask = (
+            jnp.round(self.masking(latent_scales, scale_prog=scales_prog, pr=q))
+            if self.uses_coding_mask
+            else None
+        )
+        sc = self.slice_ch
+        mu0p, scale0p, _ = self._slice_mu_scale_prog(
+            0, means_prog, scales_prog, []
+        )
+        if mask is not None:
+            scale0p = scale0p * mask[..., :sc]
+        idx0p = gc_build_indexes(scale0p, self._scale_table()).astype(jnp.uint8)
+        return (
+            latent_means, latent_scales, mu0, idx0,
+            means_prog, scales_prog, mu0p, idx0p, mask,
+        )
+
+    def decode_step_scalable(
+        self, slice_index: int,
+        symbols_prev, mu_prev, symbols_prev_prog, mu_prev_prog,
+        latent_means, latent_scales, means_prog, scales_prog,
+        support, support_prog, mask,
+    ):
+        """Fused: reconstruct both branches' slice i-1 + params for slice i."""
+        i_prev = slice_index - 1
+        sc = self.slice_ch
+
+        y_hat_prev = symbols_prev.astype(jnp.float32) + mu_prev
+        ms_prev = jnp.concatenate([latent_means] + list(support), axis=-1)
+        y_hat_prev = y_hat_prev + self._lrp(i_prev, ms_prev, y_hat_prev)
+
+        yp_hat_prev = symbols_prev_prog.astype(jnp.float32) + mu_prev_prog
+        if self.lrp_prog:
+            msp_prev = jnp.concatenate(
+                [means_prog] + list(support_prog), axis=-1
+            )
+            yp_hat_prev = yp_hat_prev + self._lrp_prog(
+                i_prev, msp_prev, yp_hat_prev
+            )
+
+        new_support = (list(support) + [y_hat_prev])[: self.max_support_slices]
+        mu, scale, _ = self._slice_mu_scale(
+            slice_index, latent_means, latent_scales, new_support
+        )
+        idx = gc_build_indexes(scale, self._scale_table()).astype(jnp.uint8)
+
+        new_support_p = (list(support_prog) + [yp_hat_prev])[
+            : self.max_support_slices
+        ]
+        mu_p, scale_p, _ = self._slice_mu_scale_prog(
+            slice_index, means_prog, scales_prog, new_support_p
+        )
+        if mask is not None:
+            scale_p = scale_p * mask[
+                ..., slice_index * sc : (slice_index + 1) * sc
+            ]
+        idx_p = gc_build_indexes(scale_p, self._scale_table()).astype(jnp.uint8)
+        return y_hat_prev, yp_hat_prev, mu, idx, mu_p, idx_p
+
+    def decode_end_scalable(
+        self, symbols, mu, symbols_prog, mu_prog,
+        latent_means, means_prog, slices, slices_prog, q,
+    ):
+        """Fused: final-slice reconstructions + merge + final latent + g_s."""
+        i = self.num_slices - 1
+        y_hat_last = symbols.astype(jnp.float32) + mu
+        ms = jnp.concatenate(
+            [latent_means] + list(slices)[: self.max_support_slices], axis=-1
+        )
+        y_hat_last = y_hat_last + self._lrp(i, ms, y_hat_last)
+
+        yp_hat_last = symbols_prog.astype(jnp.float32) + mu_prog
+        if self.lrp_prog:
+            msp = jnp.concatenate(
+                [means_prog] + list(slices_prog)[: self.max_support_slices],
+                axis=-1,
+            )
+            yp_hat_last = yp_hat_last + self._lrp_prog(i, msp, yp_hat_last)
+
+        base = list(slices) + [y_hat_last]
+        prog = list(slices_prog) + [yp_hat_last]
+        complete = [self._merge(a, b, j) for j, (a, b) in enumerate(zip(base, prog))]
+        y_hat = self._final_latent(complete, prog, q)
+        return jnp.clip(self._synthesize_q(y_hat, q), 0.0, 1.0), y_hat

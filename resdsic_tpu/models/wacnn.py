@@ -237,10 +237,108 @@ class WACNN(nn.Module):
     def quantize_slice(
         self, slice_index: int, y: jax.Array, mu: jax.Array
     ) -> jax.Array:
-        """Integer symbols for one y slice given the shared-program mu."""
+        """Integer symbols for one y slice given the shared-program mu
+        (int8-range clamp, matching encode_device)."""
         sc = self.slice_ch
         y_slice = y[..., slice_index * sc : (slice_index + 1) * sc]
-        return quantize_symbols(y_slice, mu)
+        return jnp.clip(quantize_symbols(y_slice, mu), -127, 127)
+
+    def encode_device(self, x: jax.Array) -> Dict[str, jax.Array]:
+        """FUSED full-encoder program: one dispatch, zero host round-trips.
+
+        Empirically bit-identical on TPU to the stepped decoder programs
+        (verified by WACNNCodec.selftest); the tunnel dispatch overhead makes
+        this ~10x cheaper than per-slice calls. Symbol stacks come back
+        slice-major (B, num_slices, h, w, slice_ch).
+        """
+        y = self._seq(self.g_a, x)
+        z = self._seq(self.h_a, y)
+        medians = self.entropy_bottleneck.medians()
+        z_symbols = quantize_symbols(z, jnp.broadcast_to(medians, z.shape))
+        z_hat = z_symbols.astype(jnp.float32) + medians
+
+        latent_scales = self._seq(self.h_scale_s, z_hat)
+        latent_means = self._seq(self.h_mean_s, z_hat)
+
+        table = self._scale_table()
+        sc = self.slice_ch
+        y_hat_slices, sym_slices, idx_slices = [], [], []
+        for i in range(self.num_slices):
+            y_slice = y[..., i * sc : (i + 1) * sc]
+            support = self._support(y_hat_slices)
+            mu, scale, mean_support = self._slice_mu_scale(
+                i, latent_means, latent_scales, support
+            )
+            idx_slices.append(gc_build_indexes(scale, table))
+            # int8-range clamp BEFORE reconstruction: y residuals are tiny in
+            # trained models; clamping here keeps encoder/decoder consistent
+            # and quarters the dominant d2h transfer
+            y_q = jnp.clip(quantize_symbols(y_slice, mu), -127, 127)
+            sym_slices.append(y_q)
+            y_hat_slice = y_q.astype(jnp.float32) + mu
+            y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        # narrow dtypes: d2h transfer dominates on tunneled TPUs
+        return {
+            "z_symbols": z_symbols.astype(jnp.int16),
+            "y_symbols": jnp.stack(sym_slices, axis=1).astype(jnp.int8),
+            "y_indexes": jnp.stack(idx_slices, axis=1).astype(jnp.uint8),
+            "y_hat": jnp.concatenate(y_hat_slices, axis=-1),
+        }
+
+    def decode_begin(self, z_hat: jax.Array):
+        """Fused hyper-synthesis + slice-0 params (one dispatch)."""
+        latent_means = self._seq(self.h_mean_s, z_hat)
+        latent_scales = self._seq(self.h_scale_s, z_hat)
+        mu0, scale0, _ = self._slice_mu_scale(0, latent_means, latent_scales, [])
+        idx0 = gc_build_indexes(scale0, self._scale_table()).astype(jnp.uint8)
+        return latent_means, latent_scales, mu0, idx0
+
+    def decode_step(
+        self,
+        slice_index: int,
+        symbols_prev: jax.Array,
+        mu_prev: jax.Array,
+        latent_means: jax.Array,
+        latent_scales: jax.Array,
+        support: Tuple[jax.Array, ...],
+    ):
+        """Fused (reconstruct slice i-1) + (params for slice i) — one
+        dispatch per decoded slice instead of two."""
+        i_prev = slice_index - 1
+        y_hat_prev = symbols_prev.astype(jnp.float32) + mu_prev
+        mean_support_prev = jnp.concatenate(
+            [latent_means] + list(support), axis=-1
+        )
+        y_hat_prev = y_hat_prev + self._lrp(i_prev, mean_support_prev, y_hat_prev)
+
+        new_support = (list(support) + [y_hat_prev])[: self.max_support_slices]
+        mu, scale, _ = self._slice_mu_scale(
+            slice_index, latent_means, latent_scales, new_support
+        )
+        idx = gc_build_indexes(scale, self._scale_table()).astype(jnp.uint8)
+        return y_hat_prev, mu, idx
+
+    def decode_end(
+        self,
+        symbols: jax.Array,
+        mu: jax.Array,
+        latent_means: jax.Array,
+        slices: Tuple[jax.Array, ...],
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Fused final-slice reconstruction + synthesis (one dispatch)."""
+        i = self.num_slices - 1
+        support = list(slices)[: self.max_support_slices]
+        y_hat_last = symbols.astype(jnp.float32) + mu
+        mean_support = jnp.concatenate([latent_means] + support, axis=-1)
+        y_hat_last = y_hat_last + self._lrp(i, mean_support, y_hat_last)
+        y_hat = jnp.concatenate(list(slices) + [y_hat_last], axis=-1)
+        return jnp.clip(self._synthesize_q(y_hat, 0), 0.0, 1.0), y_hat
+
+    def _synthesize_q(self, y_hat: jax.Array, q) -> jax.Array:
+        """Decoder-selection hook (scalable multiple_decoder overrides)."""
+        return self._seq(self.g_s, y_hat)
 
     # ---------------- decoder device programs ----------------
 
