@@ -20,6 +20,7 @@ from .scalable import (
     ScalableICD,
     ScalableIMD,
 )
+from .tcm import TCM
 from .wacnn import WACNN
 
 models = {
@@ -29,6 +30,8 @@ models = {
     "imd": ScalableIMD,
     "cicd": ConditionalScalableICD,
     "cimd": ConditionalScalableIMD,
+    # present-but-unregistered in the reference (SURVEY.md §2.5); registered here
+    "tcm": TCM,
 }
 
 
@@ -85,4 +88,5 @@ __all__ = [
     "ScalableIMD",
     "ConditionalScalableICD",
     "ConditionalScalableIMD",
+    "TCM",
 ]

@@ -190,7 +190,7 @@ class WACNNCodec:
 
     def _decode_z(self, z_strings: Sequence[bytes], shape) -> jax.Array:
         zh, zw = shape
-        c = self.model.N
+        c = getattr(self.model, "hyper_ch", self.model.N)
         z_idx = eb_build_indexes((1, zh, zw, c), c)[0]
         dec = RansDecoder()
         outs = [

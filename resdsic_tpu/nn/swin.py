@@ -1,0 +1,368 @@
+"""Swin-transformer blocks for the TCM codec + CompressAI-style residual
+blocks.
+
+Parity targets:
+  - WMSA / Block / ConvTransBlock / SWAtten / SwinBlock:
+      src/compress/models/TCM/tcm.py:139-308
+  - ResidualBlock / ResidualBlockWithStride / ResidualBlockUpsample /
+      AttentionBlock: CompressAI upstream layers imported at tcm.py:4-11
+      (API pinned by call sites; implemented fresh here).
+
+All NHWC. SW-MSA masks are built with numpy at trace time (static shapes).
+Known reference bug NOT replicated: SwinBlock's small-input padding never
+unpads (tcm.py:296-307 `resize` stays False); we pad and unpad correctly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.math import NonNegativeParametrizer
+from .conv import Conv, SubpelConv3x3, conv1x1, conv3x3
+from .gdn import GDN
+
+Dtype = Any
+
+
+def _leaky_relu(x):
+    return jax.nn.leaky_relu(x, negative_slope=0.01)
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3 → lrelu → conv3x3 → lrelu (+ 1x1 skip if channels change)."""
+
+    out_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        out = conv3x3(self.out_ch, dtype=self.dtype)(x)
+        out = _leaky_relu(out)
+        out = conv3x3(self.out_ch, dtype=self.dtype)(out)
+        out = _leaky_relu(out)
+        identity = x
+        if in_ch != self.out_ch:
+            identity = conv1x1(self.out_ch, dtype=self.dtype)(x)
+        return out + identity
+
+
+class ResidualBlockWithStride(nn.Module):
+    """conv3x3(s) → lrelu → conv3x3 → GDN (+ strided 1x1 skip)."""
+
+    out_ch: int
+    stride: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        out = conv3x3(self.out_ch, stride=self.stride, dtype=self.dtype)(x)
+        out = _leaky_relu(out)
+        out = conv3x3(self.out_ch, dtype=self.dtype)(out)
+        out = GDN(dtype=self.dtype)(out)
+        if self.stride != 1 or in_ch != self.out_ch:
+            identity = conv1x1(self.out_ch, stride=self.stride, dtype=self.dtype)(x)
+        else:
+            identity = x
+        return out + identity
+
+
+class ResidualBlockUpsample(nn.Module):
+    """subpel conv up → lrelu → conv3x3 → IGDN (+ subpel skip)."""
+
+    out_ch: int
+    upsample: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = SubpelConv3x3(self.out_ch, r=self.upsample, dtype=self.dtype)(x)
+        out = _leaky_relu(out)
+        out = conv3x3(self.out_ch, dtype=self.dtype)(out)
+        out = GDN(inverse=True, dtype=self.dtype)(out)
+        identity = SubpelConv3x3(self.out_ch, r=self.upsample, dtype=self.dtype)(x)
+        return out + identity
+
+
+class _ReluResidualUnit(nn.Module):
+    """CompressAI AttentionBlock residual unit (ReLU, bottleneck N/2)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.dim
+        out = conv1x1(n // 2, dtype=self.dtype)(x)
+        out = jax.nn.relu(out)
+        out = conv3x3(n // 2, dtype=self.dtype)(out)
+        out = jax.nn.relu(out)
+        out = conv1x1(n, dtype=self.dtype)(out)
+        return jax.nn.relu(out + x)
+
+
+class AttentionBlock(nn.Module):
+    """Cheng2020-style attention: out = x + conv_a(x)·σ(conv_b(x))."""
+
+    N: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.conv_a = [
+            _ReluResidualUnit(self.N, dtype=self.dtype) for _ in range(3)
+        ]
+        self.conv_b_units = [
+            _ReluResidualUnit(self.N, dtype=self.dtype) for _ in range(3)
+        ]
+        self.conv_b_out = Conv(self.N, kernel_size=1, stride=1, dtype=self.dtype)
+
+    def _branch_a(self, x):
+        for u in self.conv_a:
+            x = u(x)
+        return x
+
+    def _branch_b(self, x):
+        for u in self.conv_b_units:
+            x = u(x)
+        return self.conv_b_out(x)
+
+    def __call__(self, x):
+        a = self._branch_a(x)
+        b = self._branch_b(x)
+        return x + a * jax.nn.sigmoid(b)
+
+
+def _sw_mask(h_windows: int, w_windows: int, p: int, shift: int) -> np.ndarray:
+    """TCM generate_mask (tcm.py:160-177): True = blocked. Returns
+    (nW, p*p, p*p) boolean, trace-time numpy."""
+    mask = np.zeros((h_windows, w_windows, p, p, p, p), dtype=bool)
+    s = p - shift
+    mask[-1, :, :s, :, s:, :] = True
+    mask[-1, :, s:, :, :s, :] = True
+    mask[:, -1, :, :s, :, s:] = True
+    mask[:, -1, :, s:, :, :s] = True
+    return mask.reshape(h_windows * w_windows, p * p, p * p)
+
+
+class WMSA(nn.Module):
+    """TCM window MSA (tcm.py:139-212); param layout matches the reference
+    (relative_position_params stored (nH, 2w-1, 2w-1)) for conversion."""
+
+    input_dim: int
+    output_dim: int
+    head_dim: int
+    window_size: int
+    type: str = "W"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        ws = self.window_size
+        nh = self.input_dim // self.head_dim
+        scale = self.head_dim**-0.5
+
+        rel_params = self.param(
+            "relative_position_params",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (nh, 2 * ws - 1, 2 * ws - 1),
+            jnp.float32,
+        )
+
+        if self.type != "W":
+            x = jnp.roll(x, shift=(-(ws // 2), -(ws // 2)), axis=(1, 2))
+
+        hw, ww = h // ws, w // ws
+        xw = x.reshape(b, hw, ws, ww, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(b, hw * ww, ws * ws, c)
+
+        qkv = nn.Dense(
+            3 * self.input_dim, dtype=self.dtype, param_dtype=jnp.float32,
+            name="embedding_layer",
+        )(xw)
+        qkv = qkv.reshape(b, hw * ww, ws * ws, 3, nh, self.head_dim)
+        q = qkv[..., 0, :, :].transpose(0, 1, 3, 2, 4)  # b nw nh p c
+        k = qkv[..., 1, :, :].transpose(0, 1, 3, 2, 4)
+        v = qkv[..., 2, :, :].transpose(0, 1, 3, 2, 4)
+
+        sim = jnp.einsum(
+            "bwhpc,bwhqc->bwhpq", q, k, preferred_element_type=jnp.float32
+        ) * scale
+
+        # relative position embedding (tcm.py relative_embedding)
+        coords = np.array(
+            [[i, j] for i in range(ws) for j in range(ws)], dtype=np.int64
+        )
+        relation = coords[:, None, :] - coords[None, :, :] + ws - 1
+        rel = rel_params[:, relation[:, :, 0], relation[:, :, 1]]  # nh p p
+        sim = sim + rel[None, None]
+
+        if self.type != "W":
+            mask = jnp.asarray(_sw_mask(hw, ww, ws, ws // 2))
+            sim = jnp.where(mask[None, :, None], -jnp.inf, sim)
+
+        probs = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        out = jnp.einsum(
+            "bwhpq,bwhqc->bwhpc", probs, v, preferred_element_type=self.dtype
+        )
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, hw * ww, ws * ws, -1)
+        out = nn.Dense(
+            self.output_dim, dtype=self.dtype, param_dtype=jnp.float32,
+            name="linear",
+        )(out)
+        out = out.reshape(b, hw, ww, ws, ws, -1).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(b, h, w, -1)
+
+        if self.type != "W":
+            out = jnp.roll(out, shift=(ws // 2, ws // 2), axis=(1, 2))
+        return out
+
+
+class SwinTransformerBlock(nn.Module):
+    """LN → WMSA → (+) → LN → MLP(4x, GELU) → (+) (tcm.py Block, :214-236)."""
+
+    input_dim: int
+    output_dim: int
+    head_dim: int
+    window_size: int
+    drop_path: float = 0.0
+    type: str = "W"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        def maybe_drop(r):
+            if self.drop_path <= 0.0 or deterministic:
+                return r
+            keep = 1.0 - self.drop_path
+            mask_shape = (r.shape[0],) + (1,) * (r.ndim - 1)
+            keep_mask = jax.random.bernoulli(
+                self.make_rng("droppath"), keep, mask_shape
+            )
+            return r * keep_mask / keep
+
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = WMSA(
+            self.input_dim, self.input_dim, self.head_dim,
+            self.window_size, self.type, dtype=self.dtype, name="msa",
+        )(h)
+        x = x + maybe_drop(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = nn.Dense(4 * self.input_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="mlp_0")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.output_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="mlp_2")(h)
+        return x + maybe_drop(h)
+
+
+class ConvTransBlock(nn.Module):
+    """Parallel conv-residual + Swin branch with 1x1 mixers
+    (tcm.py:238-264)."""
+
+    conv_dim: int
+    trans_dim: int
+    head_dim: int
+    window_size: int
+    drop_path: float = 0.0
+    type: str = "W"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        total = self.conv_dim + self.trans_dim
+        mixed = Conv(total, kernel_size=1, stride=1, dtype=self.dtype,
+                     name="conv1_1")(x)
+        conv_x = mixed[..., : self.conv_dim]
+        trans_x = mixed[..., self.conv_dim :]
+
+        conv_x = ResidualBlock(self.conv_dim, dtype=self.dtype,
+                               name="conv_block")(conv_x) + conv_x
+        trans_x = SwinTransformerBlock(
+            self.trans_dim, self.trans_dim, self.head_dim, self.window_size,
+            self.drop_path, self.type, dtype=self.dtype, name="trans_block",
+        )(trans_x, deterministic=deterministic)
+
+        res = Conv(total, kernel_size=1, stride=1, dtype=self.dtype,
+                   name="conv1_2")(
+            jnp.concatenate([conv_x, trans_x], axis=-1)
+        )
+        return x + res
+
+
+class SwinBlock(nn.Module):
+    """W + SW block pair with small-input padding (tcm.py:289-308; padding
+    bug fixed — we unpad)."""
+
+    input_dim: int
+    output_dim: int
+    head_dim: int
+    window_size: int
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        h, w = x.shape[1], x.shape[2]
+        ws = self.window_size
+        padded = False
+        if h <= ws or w <= ws:
+            pr = (ws - h) // 2
+            pc = (ws - w) // 2
+            x = jnp.pad(x, ((0, 0), (pr, pr + 1), (pc, pc + 1), (0, 0)))
+            padded = True
+        out = SwinTransformerBlock(
+            self.input_dim, self.output_dim, self.head_dim, ws,
+            self.drop_path, "W", dtype=self.dtype, name="block_1",
+        )(x, deterministic=deterministic)
+        out = SwinTransformerBlock(
+            self.input_dim, self.output_dim, self.head_dim, ws,
+            self.drop_path, "SW", dtype=self.dtype, name="block_2",
+        )(out, deterministic=deterministic)
+        if padded:
+            out = out[:, pr : pr + h, pc : pc + w, :]
+        return out
+
+
+class SWAtten(nn.Module):
+    """AttentionBlock with a Swin non-local branch on 1x1-projected features
+    (tcm.py:266-287)."""
+
+    input_dim: int
+    output_dim: int
+    head_dim: int
+    window_size: int
+    drop_path: float = 0.0
+    inter_dim: Optional[int] = 192
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        dim = self.inter_dim if self.inter_dim is not None else self.input_dim
+        if self.inter_dim is not None:
+            x = Conv(dim, kernel_size=1, stride=1, dtype=self.dtype,
+                     name="in_conv")(x)
+        identity = x
+        z = SwinBlock(
+            dim, dim, self.head_dim, self.window_size, self.drop_path,
+            dtype=self.dtype, name="non_local_block",
+        )(x, deterministic=deterministic)
+        a = x
+        for i in range(3):
+            a = _ReluResidualUnit(dim, dtype=self.dtype, name=f"conv_a_{i}")(a)
+        b = z
+        for i in range(3):
+            b = _ReluResidualUnit(dim, dtype=self.dtype, name=f"conv_b_{i}")(b)
+        b = Conv(dim, kernel_size=1, stride=1, dtype=self.dtype,
+                 name="conv_b_out")(b)
+        out = a * jax.nn.sigmoid(b) + identity
+        if self.inter_dim is not None:
+            out = Conv(self.output_dim, kernel_size=1, stride=1,
+                       dtype=self.dtype, name="out_conv")(out)
+        return out
