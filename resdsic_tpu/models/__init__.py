@@ -21,6 +21,7 @@ from .scalable import (
     ScalableIMD,
 )
 from .tcm import TCM
+from .tcm_scalable import ScalableTCM, SharedTCM
 from .wacnn import WACNN
 
 models = {
@@ -32,6 +33,8 @@ models = {
     "cimd": ConditionalScalableIMD,
     # present-but-unregistered in the reference (SURVEY.md §2.5); registered here
     "tcm": TCM,
+    "tcm_shared": SharedTCM,
+    "tcm_ind": ScalableTCM,
 }
 
 
@@ -89,4 +92,6 @@ __all__ = [
     "ConditionalScalableICD",
     "ConditionalScalableIMD",
     "TCM",
+    "SharedTCM",
+    "ScalableTCM",
 ]

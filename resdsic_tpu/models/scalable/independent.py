@@ -33,7 +33,7 @@ class ResWACNNIndependentEntropy(ResWACNNSharedEntropy):
     def setup(self):
         super().setup()
         N, M, dt = self.N, self.M, self.dtype
-        hw = _hyper_widths(M, N)
+        hw = _hyper_widths(M, self.hyper_channels)
 
         self.h_a_prog = [
             Conv(hw[0], kernel_size=3, stride=1, dtype=dt), gelu,

@@ -64,8 +64,13 @@ class ResWACNNSharedEntropy(WACNN):
         return self.halve**2
 
     @property
+    def split_channels(self) -> int:
+        """Channel width of the g_a feature at the split point."""
+        return self.N
+
+    @property
     def T(self) -> int:
-        return self.N // self.factor + 3
+        return self.split_channels // self.factor + 3
 
     @property
     def scalable_levels(self) -> int:
@@ -78,20 +83,11 @@ class ResWACNNSharedEntropy(WACNN):
     def setup(self):
         super().setup()
         N, M, dt = self.N, self.M, self.dtype
-        assert self.N % self.factor == 0
+        assert self.split_channels % self.factor == 0
 
-        self.g_a_progressive = [
-            Conv(N, kernel_size=5, stride=2, dtype=dt),
-            GDN(dtype=dt),
-            Conv(N, kernel_size=5, stride=2, dtype=dt),
-            GDN(dtype=dt),
-            WinNoShiftAttention(dim=N, num_heads=8, window_size=8, shift_size=4, dtype=dt),
-            Conv(N, kernel_size=5, stride=2, dtype=dt),
-            GDN(dtype=dt),
-            Conv(M, kernel_size=5, stride=2, dtype=dt),
-        ]
+        self.g_a_progressive = self._build_g_a_progressive()
 
-        self.entropy_bottleneck_prog = EntropyBottleneck(channels=N)
+        self.entropy_bottleneck_prog = EntropyBottleneck(channels=self.hyper_channels)
         self.gaussian_conditional_prog = GaussianConditional()
 
         if self.mask_policy == "learnable-mask":
@@ -101,6 +97,19 @@ class ResWACNNSharedEntropy(WACNN):
                 (self.scalable_levels - 1, M),
             )
             self.mask_conv = Conv(M, kernel_size=1, stride=1, dtype=dt)
+
+    def _build_g_a_progressive(self):
+        N, M, dt = self.N, self.M, self.dtype
+        return [
+            Conv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(dtype=dt),
+            Conv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(dtype=dt),
+            WinNoShiftAttention(dim=N, num_heads=8, window_size=8, shift_size=4, dtype=dt),
+            Conv(N, kernel_size=5, stride=2, dtype=dt),
+            GDN(dtype=dt),
+            Conv(M, kernel_size=5, stride=2, dtype=dt),
+        ]
 
     # ---- overridable progressive plumbing (shared variant reuses base) ----
 
@@ -559,7 +568,7 @@ class ResWACNNSharedEntropy(WACNN):
         sc = self.slice_ch
 
         y_hat_prev = symbols_prev.astype(jnp.float32) + mu_prev
-        ms_prev = jnp.concatenate([latent_means] + list(support), axis=-1)
+        ms_prev = self._lrp_mean_support(i_prev, latent_means, support)
         y_hat_prev = y_hat_prev + self._lrp(i_prev, ms_prev, y_hat_prev)
 
         yp_hat_prev = symbols_prev_prog.astype(jnp.float32) + mu_prev_prog
@@ -597,8 +606,8 @@ class ResWACNNSharedEntropy(WACNN):
         """Fused: final-slice reconstructions + merge + final latent + g_s."""
         i = self.num_slices - 1
         y_hat_last = symbols.astype(jnp.float32) + mu
-        ms = jnp.concatenate(
-            [latent_means] + list(slices)[: self.max_support_slices], axis=-1
+        ms = self._lrp_mean_support(
+            i, latent_means, list(slices)[: self.max_support_slices]
         )
         y_hat_last = y_hat_last + self._lrp(i, ms, y_hat_last)
 

@@ -149,42 +149,6 @@ class TCM(WACNN):
         lrp = self._seq(self.lrp_transforms[idx], lrp_support)
         return 0.5 * jnp.tanh(lrp)
 
-    # --- decode-side overrides: LRP needs the ATTENDED mean support, which
-    # slice_reconstruct/decode_step rebuild from raw supports in WACNN ---
-
-    def slice_reconstruct(
-        self, slice_index: int, symbols, mu, latent_means, support
-    ):
-        y_hat_slice = symbols.astype(jnp.float32) + mu
-        mean_support = jnp.concatenate([latent_means] + list(support), axis=-1)
-        mean_support = self.atten_mean[slice_index](mean_support)
-        return y_hat_slice + self._lrp(slice_index, mean_support, y_hat_slice)
-
-    def decode_step(
-        self, slice_index: int, symbols_prev, mu_prev,
-        latent_means, latent_scales, support,
-    ):
-        from ..entropy import gc_build_indexes
-
-        i_prev = slice_index - 1
-        y_hat_prev = symbols_prev.astype(jnp.float32) + mu_prev
-        ms_prev = jnp.concatenate([latent_means] + list(support), axis=-1)
-        ms_prev = self.atten_mean[i_prev](ms_prev)
-        y_hat_prev = y_hat_prev + self._lrp(i_prev, ms_prev, y_hat_prev)
-
-        new_support = (list(support) + [y_hat_prev])[: self.max_support_slices]
-        mu, scale, _ = self._slice_mu_scale(
-            slice_index, latent_means, latent_scales, new_support
-        )
-        idx = gc_build_indexes(scale, self._scale_table()).astype(jnp.uint8)
-        return y_hat_prev, mu, idx
-
-    def decode_end(self, symbols, mu, latent_means, slices):
-        i = self.num_slices - 1
-        support = list(slices)[: self.max_support_slices]
-        y_hat_last = symbols.astype(jnp.float32) + mu
-        ms = jnp.concatenate([latent_means] + support, axis=-1)
-        ms = self.atten_mean[i](ms)
-        y_hat_last = y_hat_last + self._lrp(i, ms, y_hat_last)
-        y_hat = jnp.concatenate(list(slices) + [y_hat_last], axis=-1)
-        return jnp.clip(self._synthesize_q(y_hat, 0), 0.0, 1.0), y_hat
+    def _lrp_mean_support(self, idx, latent_means, support):
+        ms = jnp.concatenate([latent_means] + list(support), axis=-1)
+        return self.atten_mean[idx](ms)

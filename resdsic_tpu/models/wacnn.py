@@ -168,6 +168,16 @@ class WACNN(nn.Module):
         lrp = self._seq(self.lrp_transforms[idx], lrp_support)
         return 0.5 * jnp.tanh(lrp)
 
+    def _lrp_mean_support(self, idx, latent_means, support):
+        """Mean support for decode-side LRP; must equal what
+        _slice_mu_scale hands to _lrp on the encode side (TCM overrides
+        with its SWAtten-attended version)."""
+        return jnp.concatenate([latent_means] + list(support), axis=-1)
+
+    @property
+    def hyper_channels(self) -> int:
+        return getattr(self, "hyper_ch", None) or self.N
+
     # ---------------- training / estimation forward ----------------
 
     def __call__(self, x: jax.Array, training: bool = False) -> Dict[str, Any]:
@@ -308,9 +318,7 @@ class WACNN(nn.Module):
         dispatch per decoded slice instead of two."""
         i_prev = slice_index - 1
         y_hat_prev = symbols_prev.astype(jnp.float32) + mu_prev
-        mean_support_prev = jnp.concatenate(
-            [latent_means] + list(support), axis=-1
-        )
+        mean_support_prev = self._lrp_mean_support(i_prev, latent_means, support)
         y_hat_prev = y_hat_prev + self._lrp(i_prev, mean_support_prev, y_hat_prev)
 
         new_support = (list(support) + [y_hat_prev])[: self.max_support_slices]
@@ -331,7 +339,7 @@ class WACNN(nn.Module):
         i = self.num_slices - 1
         support = list(slices)[: self.max_support_slices]
         y_hat_last = symbols.astype(jnp.float32) + mu
-        mean_support = jnp.concatenate([latent_means] + support, axis=-1)
+        mean_support = self._lrp_mean_support(i, latent_means, support)
         y_hat_last = y_hat_last + self._lrp(i, mean_support, y_hat_last)
         y_hat = jnp.concatenate(list(slices) + [y_hat_last], axis=-1)
         return jnp.clip(self._synthesize_q(y_hat, 0), 0.0, 1.0), y_hat
@@ -369,7 +377,7 @@ class WACNN(nn.Module):
     ) -> jax.Array:
         """Dequantize one slice and apply latent residual prediction."""
         y_hat_slice = symbols.astype(jnp.float32) + mu
-        mean_support = jnp.concatenate([latent_means] + list(support), axis=-1)
+        mean_support = self._lrp_mean_support(slice_index, latent_means, support)
         return y_hat_slice + self._lrp(slice_index, mean_support, y_hat_slice)
 
     def synthesize(self, y_hat: jax.Array) -> jax.Array:

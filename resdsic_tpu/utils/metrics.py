@@ -68,10 +68,23 @@ def _avg_pool2(x: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("data_range",))
 def ms_ssim(x: jax.Array, y: jax.Array, data_range: float = 1.0) -> jax.Array:
-    """Multi-scale SSIM over the batch, returns (B,) values in [0, 1]."""
+    """Multi-scale SSIM over the batch, returns (B,) values in [0, 1].
+
+    Uses the standard 5 scales when the image is large enough; smaller
+    images drop scales (weights renormalized) instead of producing NaNs.
+    """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
-    levels = len(_MSSSIM_WEIGHTS)
+    win = 11
+    # number of scales the spatial size supports (filter is VALID-mode)
+    levels = 1
+    m = min(x.shape[1], x.shape[2])
+    while levels < len(_MSSSIM_WEIGHTS) and (m // 2) >= win:
+        levels += 1
+        m //= 2
+    weights = np.asarray(_MSSSIM_WEIGHTS[:levels], np.float32)
+    weights = weights / weights.sum()
+
     mcs = []
     ssim_val = None
     for i in range(levels):
@@ -80,7 +93,9 @@ def ms_ssim(x: jax.Array, y: jax.Array, data_range: float = 1.0) -> jax.Array:
             mcs.append(jax.nn.relu(cs))
             x = _avg_pool2(x)
             y = _avg_pool2(y)
-    mcs_stack = jnp.stack(mcs, axis=0)  # (levels-1, B)
-    weights = jnp.asarray(_MSSSIM_WEIGHTS, jnp.float32)
-    pow1 = jnp.prod(mcs_stack ** weights[:-1, None], axis=0)
-    return pow1 * (jax.nn.relu(ssim_val) ** weights[-1])
+    w = jnp.asarray(weights)
+    result = jax.nn.relu(ssim_val) ** w[-1]
+    if mcs:
+        mcs_stack = jnp.stack(mcs, axis=0)  # (levels-1, B)
+        result = result * jnp.prod(mcs_stack ** w[:-1, None], axis=0)
+    return result

@@ -1,0 +1,123 @@
+"""End-to-end CLI integration: a short training run and eval_model."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def kodak_dir(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "kodak"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        arr = (rng.uniform(0, 255, (64, 128, 3))).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img{i}.png")
+    return str(d)
+
+
+def test_parser_defaults():
+    from resdsic_tpu.cli.parser import parse_args
+
+    args = parse_args([])
+    assert args.model == "ind"
+    assert args.lambda_list == [0.0035, 0.065]
+    assert args.mask_policy == "two-levels"
+    assert args.N == 192 and args.M == 320
+    assert args.epochs == 120 and args.batch_size == 16
+
+
+def test_train_cli_short_run(tmp_path, kodak_dir, monkeypatch):
+    """Two epochs on synthetic data with a tiny cnn model; checkpoints
+    written and resumable."""
+    from resdsic_tpu.cli import train as train_cli
+    from resdsic_tpu.data import SyntheticImageDataset
+
+    # tiny dataset + model via monkeypatched synthetic sizes
+    monkeypatch.setattr(
+        train_cli, "SyntheticImageDataset",
+        lambda n, h, w, seed=0: SyntheticImageDataset(n=8, h=64, w=64, seed=seed),
+    )
+    argv = [
+        "-m", "cnn", "--N", "32", "--M", "64",
+        "-d", str(tmp_path / "nonexistent"),
+        "--test_datapath", kodak_dir,
+        "--batch-size", "4", "--patch-size", "64",
+        "-e", "1", "--codec_interval", "100",
+        "--save_path", str(tmp_path / "ckpts"),
+        "--metrics_file", str(tmp_path / "metrics.jsonl"),
+        "--lambda_list", "0.01",
+    ]
+    # cnn path needs num_slices divides M: 64/10 not integer → configure
+    # tiny model through registry defaults is full-size; patch configure
+    from resdsic_tpu import models as m
+
+    orig = m.configure_model
+
+    def tiny_configure(args):
+        from resdsic_tpu.models import WACNN
+
+        return WACNN(N=32, M=64, num_slices=4, max_support_slices=2)
+
+    monkeypatch.setattr(train_cli, "configure_model", tiny_configure)
+    train_cli.main(argv)
+
+    metrics = [
+        json.loads(l)
+        for l in open(tmp_path / "metrics.jsonl").read().splitlines()
+    ]
+    assert any("train/loss" in m_ for m_ in metrics)
+    assert any("valid/loss" in m_ for m_ in metrics)
+    ckpt_dirs = list((tmp_path / "ckpts").rglob("last"))
+    assert ckpt_dirs, "checkpoint not written"
+
+    # resume
+    argv_resume = argv + ["--checkpoint", str(ckpt_dirs[0]), "--continue_training"]
+    train_cli.main(argv_resume)
+
+
+def test_eval_model_cli_entropy_estimation(kodak_dir, capsys, monkeypatch):
+    from resdsic_tpu.cli import eval_model as em
+
+    def tiny_load(arch, checkpoint, args):
+        import jax, jax.numpy as jnp
+        from resdsic_tpu.models import WACNN
+
+        model = WACNN(N=32, M=64, num_slices=4, max_support_slices=2)
+        params = jax.jit(model.init)(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)},
+            jnp.zeros((1, 64, 64, 3)),
+        )
+        return model, params
+
+    monkeypatch.setattr(em, "load_model_and_params", tiny_load)
+    em.main(["-d", kodak_dir, "-a", "cnn", "--entropy-estimation"])
+    out = json.loads(capsys.readouterr().out)
+    r = out["results"]
+    assert r["bpp"] > 0 and r["psnr"] > 0 and 0 < r["ms-ssim"] <= 1
+
+
+def test_eval_model_cli_real_coding(kodak_dir, capsys, monkeypatch):
+    from resdsic_tpu.cli import eval_model as em
+
+    def tiny_load(arch, checkpoint, args):
+        import jax, jax.numpy as jnp
+        from resdsic_tpu.models import WACNN
+
+        model = WACNN(N=32, M=64, num_slices=4, max_support_slices=2)
+        params = jax.jit(model.init)(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)},
+            jnp.zeros((1, 64, 64, 3)),
+        )
+        return model, params
+
+    monkeypatch.setattr(em, "load_model_and_params", tiny_load)
+    em.main(["-d", kodak_dir, "-a", "cnn"])
+    out = json.loads(capsys.readouterr().out)
+    r = out["results"]
+    assert r["bpp"] > 0
+    assert r["encoding_time"] > 0 and r["decoding_time"] > 0

@@ -66,3 +66,49 @@ def test_tcm_default_dims():
     assert m.N == 128 and m.M == 320 and m.num_slices == 5
     assert m.slice_ch == 64 and m.hyper_ch == 192
     assert m.config == (2, 2, 2, 2, 2, 2)
+
+
+def test_scalable_tcm_forward_and_roundtrip():
+    from resdsic_tpu.models import ScalableCodec, ScalableTCM
+
+    model = ScalableTCM(
+        N=64, M=64, num_slices=2, max_support_slices=1,
+        config=(1, 1, 1, 1, 1, 1), head_dim=(8, 8, 8, 8, 8, 8),
+        window_size=4, hyper_ch=48,
+        lmbda_list=(0.0035, 0.065), mask_policy="two-levels",
+    )
+    x = jax.random.uniform(jax.random.key(0), (1, 128, 128, 3))
+    params = model.init(
+        {"params": jax.random.key(1), "noise": jax.random.key(2)}, x
+    )
+    out = model.apply(params, x, training=False)
+    assert out["x_hat"].shape == (2, 1, 128, 128, 3)
+    assert "h_a_prog_0" in params["params"]
+
+    codec = ScalableCodec(model, params)
+    codec.update()
+    enc = codec.compress(x, quality=1, return_debug=True)
+    rec = codec.decompress(enc["strings"], enc["shape"], quality=1, return_debug=True)
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(enc["y_hat"])
+    )
+
+
+def test_shared_tcm_builds():
+    from resdsic_tpu.models import SharedTCM
+
+    model = SharedTCM(
+        N=64, M=64, num_slices=2, max_support_slices=1,
+        config=(1, 1, 1, 1, 1, 1), head_dim=(8, 8, 8, 8, 8, 8),
+        window_size=4, hyper_ch=48,
+        lmbda_list=(0.0035, 0.065), mask_policy="two-levels",
+    )
+    x = jax.random.uniform(jax.random.key(0), (1, 128, 128, 3))
+    params = model.init(
+        {"params": jax.random.key(1), "noise": jax.random.key(2)}, x
+    )
+    # shared variant: no independent prog hyperprior
+    assert "h_a_prog_0" not in params["params"]
+    assert "g_a_progressive_0" in params["params"]
+    out = model.apply(params, x, quality=1, training=False)
+    assert out["x_hat"].shape == (1, 1, 128, 128, 3)
