@@ -89,6 +89,9 @@ def main(argv=None):
     shard_fn = (lambda b: shard_batch(b, mesh)) if mesh else (lambda b: b)
     print(f"[train] devices={n_dev} mesh={'on' if mesh else 'off'}")
 
+    from ..training.freeze import print_information
+
+    print_information(params["params"])
     state = create_train_state(params, clip_max_norm=args.clip_max_norm)
     start_epoch = 0
     if args.checkpoint:
@@ -110,9 +113,15 @@ def main(argv=None):
         criterion = RateDistortionLoss(lmbda=args.lambda_list[0])
         pr_list = [0]
 
+    trainable_mask = None
+    if args.frozen_base and is_scalable:
+        from ..training.freeze import freezer_mask
+
+        trainable_mask = freezer_mask(model, state.params["params"])
+        print("[train] frozen base — training progressive branch only")
     train_step = make_train_step(
         model, criterion, mesh=mesh, clip_max_norm=args.clip_max_norm,
-        donate=True,
+        donate=True, trainable_mask=trainable_mask,
     )
     eval_step = make_eval_step(model, criterion, mesh=mesh)
 

@@ -563,7 +563,7 @@ class ScalableCodec(WACNNCodec):
         z_hat = self._decode_z(z_strings, shape[0])
 
         zp_h, zp_w = shape[-1]
-        c = self.model.N
+        c = self.model.hyper_channels
         zp_idx = eb_build_indexes((1, zp_h, zp_w, c), c)[0]
         dec1 = RansDecoder()
         zp_sym = np.stack(
@@ -689,7 +689,7 @@ class ScalableCodec(WACNNCodec):
         if with_prog:
             z_strings_prog, progressive_strings = strings[2], strings[3]
             zp_h, zp_w = shape[-1]
-            c = self.model.N
+            c = self.model.hyper_channels
             zp_idx = eb_build_indexes((1, zp_h, zp_w, c), c)[0]
             dec1 = RansDecoder()
             zp_sym = np.stack(

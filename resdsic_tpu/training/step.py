@@ -30,6 +30,7 @@ def make_train_step(
     clip_max_norm: float = 1.0,
     quality=None,
     donate: bool = True,
+    trainable_mask=None,
 ):
     """Returns train_step(state, batch, rng, lr, aux_lr) -> (state, metrics).
 
@@ -59,6 +60,10 @@ def make_train_step(
         grads, (crit, aux) = jax.grad(loss_fn, has_aux=True)(
             state.params["params"]
         )
+        if trainable_mask is not None:
+            from .freeze import apply_freeze
+
+            grads = apply_freeze(grads, trainable_mask)
         g_main, g_aux = split_grads(grads, labels)
 
         u_main, new_main = tx_main.update(

@@ -115,3 +115,40 @@ def test_train_step_scalable_on_mesh():
     ev = make_eval_step(model, crit, mesh=mesh, quality=None)
     em = ev(s1.params, xb)
     assert np.isfinite(float(em["psnr"].mean()))
+
+
+def test_freezer_mask_and_apply():
+    import jax.numpy as jnp
+    from resdsic_tpu.models import ResWACNNIndependentEntropy
+    from resdsic_tpu.training.freeze import apply_freeze, count_parameters, freezer_mask
+
+    model = ResWACNNIndependentEntropy(
+        N=64, M=64, num_slices=2, max_support_slices=1,
+        lmbda_list=(0.0035, 0.065), mask_policy="two-levels",
+    )
+    params = jax.eval_shape(
+        lambda k: model.init({"params": k, "noise": k}, jnp.zeros((1, 64, 64, 3))),
+        jax.random.key(0),
+    )["params"]
+    mask = freezer_mask(model, params)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    by_top = {}
+    for path, v in flat:
+        by_top.setdefault(path[0].key, set()).add(v)
+    # base g_a frozen; progressive trainable
+    assert by_top["g_a_0"] == {False}
+    assert by_top["g_a_progressive_0"] == {True}
+    assert by_top["h_a_prog_0"] == {True}
+    assert by_top["h_a_0"] == {False}
+    assert by_top["entropy_bottleneck"] == {True}
+    assert by_top["g_s_0"] == {True}
+
+    grads = jax.tree_util.tree_map(
+        lambda l: jnp.ones(l.shape, jnp.float32), params
+    )
+    fg = apply_freeze(grads, mask)
+    assert float(jnp.sum(jnp.abs(fg["g_a_0"]["conv"]["kernel"]))) == 0
+    assert float(jnp.sum(jnp.abs(fg["g_a_progressive_0"]["conv"]["kernel"]))) > 0
+
+    counts = count_parameters(params)
+    assert counts["__total__"] > 0
