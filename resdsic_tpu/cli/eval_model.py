@@ -155,6 +155,8 @@ def main(argv=None):
     parser.add_argument("-a", "--arch", default="cnn")
     parser.add_argument("-p", "--path", dest="checkpoint", default=None)
     parser.add_argument("--entropy-estimation", action="store_true")
+    parser.add_argument("--half", action="store_true",
+                        help="bfloat16 compute (TPU half precision)")
     parser.add_argument("-q", "--quality", type=float, default=None)
     parser.add_argument("--lambda_list", nargs="+", type=float,
                         default=[0.0035, 0.065])
@@ -167,6 +169,8 @@ def main(argv=None):
         sys.exit(1)
 
     model, params = load_model_and_params(args.arch, args.checkpoint, args)
+    if args.half:
+        model = model.replace(dtype=jnp.bfloat16)
     metrics = eval_model(
         model, params, filepaths, args.entropy_estimation, args.quality
     )

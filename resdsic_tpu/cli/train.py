@@ -179,6 +179,13 @@ def _run_codec_eval(args, model, state, test_ds, pr_list, epoch, logger):
         return
     bpps, psnrs = compress_with_ac(codec, files, epoch, pr_list, logger)
     print(f"[codec eval] epoch {epoch}: bpp={bpps} psnr={psnrs}")
+    from ..utils.plot import plot_rate_distorsion
+
+    plot_rate_distorsion(
+        {"ours": bpps}, {"ours": psnrs}, epoch=epoch,
+        save_path=str(Path(args.save_path) / f"rd_epoch{epoch}.png"),
+        logger=logger, entropy_estimation="compression",
+    )
 
 
 if __name__ == "__main__":

@@ -42,6 +42,9 @@ def plot_rate_distorsion(
     ax.set_title(f"Rate-distortion, epoch {epoch}")
 
     if save_path:
+        from pathlib import Path
+
+        Path(save_path).parent.mkdir(parents=True, exist_ok=True)
         fig.savefig(save_path, dpi=120, bbox_inches="tight")
     if logger is not None and getattr(logger, "_wandb", None) is not None:
         logger._wandb.log({"rd_curve": logger._wandb.Image(fig)})

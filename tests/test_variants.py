@@ -27,7 +27,9 @@ def _init(model):
 
 
 def test_registry_complete():
-    assert set(models) == {"cnn", "ind", "icd", "imd", "cicd", "cimd"}
+    # reference keys plus the TCM family (unregistered/bit-rotted upstream)
+    assert {"cnn", "ind", "icd", "imd", "cicd", "cimd"} <= set(models)
+    assert {"tcm", "tcm_shared", "tcm_ind"} <= set(models)
 
 
 def test_configure_model_from_args():
