@@ -46,7 +46,7 @@ def load_model_and_params(arch: str, checkpoint: str, args):
     if checkpoint and checkpoint.endswith((".pth.tar", ".pth", ".pt")):
         from ..utils.torch_convert import load_torch_checkpoint
 
-        params = load_torch_checkpoint(checkpoint)
+        params = load_torch_checkpoint(checkpoint, arch=arch)
     elif checkpoint:
         from ..utils.checkpoint import load_checkpoint
 

@@ -183,10 +183,14 @@ def convert_wacnn_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+def load_torch_checkpoint(path: str, arch: str = "cnn") -> Dict[str, Any]:
     """Load a .pth.tar and return the converted Flax params tree."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = ckpt.get("state_dict", ckpt)
+    if arch == "tcm":
+        from .torch_convert_tcm import convert_tcm_state_dict
+
+        return {"params": convert_tcm_state_dict(state_dict)}
     return {"params": convert_wacnn_state_dict(state_dict)}
