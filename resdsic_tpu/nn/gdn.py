@@ -22,6 +22,7 @@ class GDN(nn.Module):
     beta_min: float = 1e-6
     gamma_init: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False  # fused Pallas kernel (forward); XLA otherwise
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -44,6 +45,15 @@ class GDN(nn.Module):
 
         beta_v = beta_reparam(beta).astype(self.dtype)
         gamma_v = gamma_reparam(gamma).astype(self.dtype)
+
+        if self.use_pallas:
+            from ..ops.pallas_gdn import gdn_pallas
+
+            # kernel consumes gamma as (C_in, C_out): torch/our einsum uses
+            # γ[o,i] so transpose once here
+            return gdn_pallas(
+                x.astype(self.dtype), gamma_v.T, beta_v, self.inverse
+            )
 
         xx = jnp.square(x.astype(self.dtype))
         # torch: conv2d(x^2, gamma.reshape(C,C,1,1)) → out[o] = Σ_i γ[o,i] x²[i]

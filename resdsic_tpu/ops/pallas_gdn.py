@@ -1,0 +1,97 @@
+"""Fused GDN Pallas kernel.
+
+GDN is y = x / sqrt(beta + x² @ gamma): a channel-mixing matmul (MXU)
+sandwiched by elementwise square and rsqrt-multiply (VPU). XLA fuses this
+well already; this kernel exists to (a) keep the whole op in VMEM with one
+HBM read/write of x per tile, and (b) serve as the template for hand-fusing
+the codec's hot ops when profiles justify it.
+
+Grid: tiles of (BLOCK_S, C) over the flattened spatial dim; gamma (C, C) and
+beta (C,) stay resident in VMEM across the grid. Forward only — the backward
+pass uses the XLA formulation via jax.custom_vjp (training never runs this
+kernel's gradient-of-kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_BLOCK_S = 256
+
+
+def _gdn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, inverse: bool):
+    x = x_ref[:]
+    xx = x * x
+    norm = (
+        jnp.dot(xx, gamma_ref[:], preferred_element_type=jnp.float32)
+        + beta_ref[:]
+    )
+    if inverse:
+        o_ref[:] = x * jnp.sqrt(norm)
+    else:
+        o_ref[:] = x * jax.lax.rsqrt(norm)
+
+
+def _gdn_xla(x, gamma, beta, inverse):
+    xx = jnp.square(x)
+    norm = jnp.einsum("si,io->so", xx, gamma,
+                      preferred_element_type=jnp.float32) + beta
+    return x * (jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def gdn_pallas(x, gamma, beta, inverse: bool = False, interpret: bool = False):
+    """Fused GDN over NHWC input; gamma (C_in, C_out) as in nn/gdn.py.
+
+    Falls back to padding the spatial dim to the block size; C should be a
+    multiple of 128 for peak MXU tiling (192/320 still map fine).
+    """
+    orig_shape = x.shape
+    c = x.shape[-1]
+    xf = x.reshape(-1, c)
+    s = xf.shape[0]
+    pad = (-s) % _BLOCK_S
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_gdn_kernel, inverse=inverse),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        grid=(xf.shape[0] // _BLOCK_S,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK_S, c), lambda i: (i, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_S, c), lambda i: (i, 0)),
+        interpret=interpret,
+    )(xf, gamma, beta)
+
+    if pad:
+        out = out[:s]
+    return out.reshape(orig_shape)
+
+
+def _fwd(x, gamma, beta, inverse, interpret):
+    return gdn_pallas(x, gamma, beta, inverse, interpret), (x, gamma, beta)
+
+
+def _bwd(inverse, interpret, res, g):
+    # backward via the XLA formulation (same math; autodiff'd)
+    x, gamma, beta = res
+    c = x.shape[-1]
+
+    def f(x_, gamma_, beta_):
+        return _gdn_xla(x_.reshape(-1, c), gamma_, beta_, inverse).reshape(
+            x_.shape
+        )
+
+    _, vjp = jax.vjp(f, x, gamma, beta)
+    return vjp(g)
+
+
+gdn_pallas.defvjp(_fwd, _bwd)
