@@ -12,6 +12,7 @@ Registry keys:
 from __future__ import annotations
 
 from .codec import ScalableCodec, WACNNCodec
+from .pipeline import StreamingCodec
 from .scalable import (
     ConditionalScalableICD,
     ConditionalScalableIMD,
@@ -85,6 +86,7 @@ __all__ = [
     "WACNN",
     "WACNNCodec",
     "ScalableCodec",
+    "StreamingCodec",
     "ResWACNNSharedEntropy",
     "ResWACNNIndependentEntropy",
     "ScalableICD",

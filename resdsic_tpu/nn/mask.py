@@ -85,9 +85,15 @@ class Mask(nn.Module):
             return jnp.power(importance, gamma[None, None, None, :])
 
         if mask_pol == "learnable-mask-nested":
+            # NOTE: the reference (mask_layer.py:92-107) returns ones at pr==1
+            # and indexes range(pr) into a (levels-2)-long conv list — which
+            # raises IndexError for any pr>=2. We implement the evident
+            # intent, consistent with the gamma variant: zeros at pr==0, ones
+            # at the top level, and a nested sum of the first pr sigmoid
+            # convs in between (pr in 1..levels-2 uses convs 0..pr-1).
             if pr == 0:
                 return jnp.zeros_like(scale)
-            if pr == 1:
+            if pr == self.scalable_levels - 1:
                 return jnp.ones_like(scale)
             assert scale_prog is not None
             inp = jnp.concatenate([scale, scale_prog], axis=-1)

@@ -111,3 +111,33 @@ def test_codec_selftests():
     c2 = ScalableCodec(m2, p2)
     c2.update()
     c2.selftest(x, quality=1)
+
+
+def test_streaming_codec_matches_sequential():
+    from resdsic_tpu.models import StreamingCodec, WACNN, WACNNCodec
+
+    model = WACNN(N=32, M=64, num_slices=2, max_support_slices=1)
+    x0 = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    params = model.init(
+        {"params": jax.random.key(1), "noise": jax.random.key(2)}, x0
+    )
+    codec = WACNNCodec(model, params)
+    codec.update()
+
+    batches = [
+        jax.random.uniform(jax.random.key(10 + i), (2, 64, 64, 3))
+        for i in range(4)
+    ]
+    stream = StreamingCodec(codec, n_encode_workers=2, n_decode_workers=2)
+    results = stream.map(batches)
+    assert len(results) == 4
+
+    for b, r in zip(batches, results):
+        seq = codec.compress(b)
+        assert [list(map(bytes, g)) for g in r["strings"]] == [
+            list(map(bytes, g)) for g in seq["strings"]
+        ]
+        rec = codec.decompress(seq["strings"], seq["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(r["x_hat"]), np.asarray(rec["x_hat"])
+        )

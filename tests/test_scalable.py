@@ -121,3 +121,31 @@ def test_shared_entropy_variant_builds_and_runs():
     assert "h_a_prog_0" not in params["params"]
     out = model.apply(params, x, quality=1, training=False)
     assert out["x_hat"].shape == (1, 1, 64, 64, 3)
+
+
+def test_stepped_paths_match_fused(ind_model):
+    """compress_stepped/decompress_stepped equal the fused paths."""
+    model, params = ind_model
+    from resdsic_tpu.models import ScalableCodec
+
+    x = jax.random.uniform(jax.random.key(11), (1, 64, 64, 3))
+    codec = ScalableCodec(model, params)
+    codec.update()
+
+    fused = codec.compress(x, quality=1, return_debug=True)
+    stepped = codec.compress_stepped(x, quality=1, return_debug=True)
+
+    def flat(group):
+        if isinstance(group, (list, tuple)):
+            return [s for g in group for s in flat(g)]
+        return [group]
+
+    assert flat(fused["strings"]) == flat(stepped["strings"])
+
+    rec_f = codec.decompress(fused["strings"], fused["shape"], quality=1,
+                             return_debug=True)
+    rec_s = codec.decompress_stepped(fused["strings"], fused["shape"],
+                                     quality=1, return_debug=True)
+    np.testing.assert_array_equal(
+        np.asarray(rec_f["y_hat"]), np.asarray(rec_s["y_hat"])
+    )

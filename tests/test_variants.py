@@ -155,3 +155,20 @@ def test_cimd_concatenation_dual_decoder():
     enc = codec.compress(x, quality=1)
     rec = codec.decompress(enc["strings"], enc["shape"], quality=1)
     assert rec["x_hat"].shape == (1, 64, 64, 3)
+
+
+def test_learnable_mask_nested_coding_roundtrip():
+    model = ScalableICD(
+        **{**TINY, "lmbda_list": (0.0035, 0.01, 0.065)},
+        mask_policy="learnable-mask-nested",
+    )
+    params = _init(model)
+    x = jax.random.uniform(jax.random.key(9), (1, 64, 64, 3))
+    codec = ScalableCodec(model, params)
+    codec.update()
+    out = codec.compress(x, quality=1, return_debug=True)
+    rec = codec.decompress(out["strings"], out["shape"], quality=1,
+                           return_debug=True)
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+    )
