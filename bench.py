@@ -88,57 +88,22 @@ def main():
     seq_elapsed = time.perf_counter() - t0
     seq_s_per_image = seq_elapsed / N_IMAGES
 
-    # --- pipelined steady-state throughput: encode batch k+1 overlaps
-    # decode batch k (encode is device/link work, decode interleaves host
-    # rANS with per-slice device programs; jax dispatch is thread-safe and
-    # the ctypes rANS calls release the GIL) ---
-    import queue as _q
-    import threading
+    # --- pipelined steady-state throughput via the framework-level
+    # StreamingCodec (encode device/link work overlaps decode host phases) ---
+    from resdsic_tpu.models import StreamingCodec
 
     n_pipe_batches = 8
-    n_enc_workers = 2
-    n_dec_workers = 3
     pipe_imgs = [
         jnp.asarray(make_images(N_IMAGES)[:BATCH]) for _ in range(2)
     ]
-    stream_q: _q.Queue = _q.Queue(maxsize=3)
-
-    enc_q: _q.Queue = _q.Queue()
-    for k in range(n_pipe_batches):
-        enc_q.put(k)
-
-    def encoder():
-        while True:
-            try:
-                k = enc_q.get_nowait()
-            except _q.Empty:
-                break
-            stream_q.put(codec.compress(pipe_imgs[k % 2]))
-
-    def decoder():
-        while True:
-            item = stream_q.get()
-            if item is None:
-                break
-            codec.decompress(item["strings"], item["shape"])[
-                "x_hat"
-            ].block_until_ready()
+    stream = StreamingCodec(codec, n_encode_workers=2, n_decode_workers=3)
 
     # warm the pipeline once
     o = codec.compress(pipe_imgs[0])
     codec.decompress(o["strings"], o["shape"])["x_hat"].block_until_ready()
 
     t0 = time.perf_counter()
-    enc_threads = [threading.Thread(target=encoder) for _ in range(n_enc_workers)]
-    dec_threads = [threading.Thread(target=decoder) for _ in range(n_dec_workers)]
-    for t in enc_threads + dec_threads:
-        t.start()
-    for t in enc_threads:
-        t.join()
-    for _ in range(n_dec_workers):
-        stream_q.put(None)
-    for t in dec_threads:
-        t.join()
+    stream.map([pipe_imgs[k % 2] for k in range(n_pipe_batches)])
     pipe_elapsed = time.perf_counter() - t0
     pipe_s_per_image = pipe_elapsed / (n_pipe_batches * BATCH)
 
