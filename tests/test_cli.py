@@ -121,3 +121,30 @@ def test_eval_model_cli_real_coding(kodak_dir, capsys, monkeypatch):
     r = out["results"]
     assert r["bpp"] > 0
     assert r["encoding_time"] > 0 and r["decoding_time"] > 0
+
+
+def test_compress_with_ac_scalable(kodak_dir):
+    """Reference-style real-codec eval over files at pr_list [0, 1]
+    (4-part bitstream accounting, step.py:218-330 semantics)."""
+    import jax, jax.numpy as jnp
+    from resdsic_tpu.models import ResWACNNIndependentEntropy, ScalableCodec
+    from resdsic_tpu.training.loop import compress_with_ac
+    from resdsic_tpu.data import TestKodakDataset
+
+    model = ResWACNNIndependentEntropy(
+        N=64, M=64, num_slices=2, max_support_slices=1,
+        lmbda_list=(0.0035, 0.065), mask_policy="two-levels",
+    )
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3)),
+    )
+    codec = ScalableCodec(model, params)
+    codec.update()
+
+    ds = TestKodakDataset(kodak_dir)
+    bpps, psnrs = compress_with_ac(codec, ds.image_path[:1], epoch=-1,
+                                   pr_list=[0, 1])
+    assert len(bpps) == 2 and len(psnrs) == 2
+    assert bpps[1] > bpps[0] > 0  # progressive adds rate
+    assert all(np.isfinite(p) for p in psnrs)
