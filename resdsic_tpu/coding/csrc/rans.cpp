@@ -350,9 +350,10 @@ int pmf_to_quantized_cdf(const float *pmf, int32_t n, int32_t precision,
   for (int32_t i = 0; i < n; ++i) {
     const float p = pmf[i];
     if (!(p >= 0.f) || p != p) return -2;  // negative or NaN
-    cdf[i + 1] =
-        static_cast<uint32_t>(std::lround(static_cast<double>(p) *
-                                          (1u << precision)));
+    // round in float32, matching CompressAI's `std::round(p * (1<<precision))`
+    // (float arithmetic) so quantized tables agree bit-for-bit
+    cdf[i + 1] = static_cast<uint32_t>(
+        std::round(p * static_cast<float>(1u << precision)));
   }
 
   uint64_t total = 0;
