@@ -164,10 +164,11 @@ class BufferedRansEncoder:
 
     def __init__(self):
         self._handle = _lib.rans_buffered_encoder_new()
+        self._free = _lib.rans_buffered_encoder_free  # survives interp teardown
 
     def __del__(self):
         if getattr(self, "_handle", None):
-            _lib.rans_buffered_encoder_free(self._handle)
+            self._free(self._handle)
             self._handle = None
 
     def encode_with_indexes(self, symbols, indexes, table: CdfTable) -> None:
@@ -219,10 +220,11 @@ class RansDecoder:
 
     def __init__(self):
         self._handle = _lib.rans_decoder_new()
+        self._free = _lib.rans_decoder_free  # survives interpreter teardown
 
     def __del__(self):
         if getattr(self, "_handle", None):
-            _lib.rans_decoder_free(self._handle)
+            self._free(self._handle)
             self._handle = None
 
     def set_stream(self, data: bytes) -> None:

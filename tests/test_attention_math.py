@@ -5,6 +5,7 @@ WindowAttention and the TCM WMSA."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from resdsic_tpu.nn import WindowAttention
 from resdsic_tpu.nn.swin import WMSA
@@ -86,6 +87,7 @@ def test_wmsa_w_type_matches_numpy():
     np.testing.assert_allclose(out, expected, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_codec_selftests():
     """Public selftest() API on both codec drivers (tiny configs)."""
     from resdsic_tpu.models import (

@@ -31,6 +31,7 @@ def test_parser_defaults():
     assert args.epochs == 120 and args.batch_size == 16
 
 
+@pytest.mark.slow
 def test_train_cli_short_run(tmp_path, kodak_dir, monkeypatch):
     """Two epochs on synthetic data with a tiny cnn model; checkpoints
     written and resumable."""
@@ -123,6 +124,7 @@ def test_eval_model_cli_real_coding(kodak_dir, capsys, monkeypatch):
     assert r["encoding_time"] > 0 and r["decoding_time"] > 0
 
 
+@pytest.mark.slow
 def test_compress_with_ac_scalable(kodak_dir):
     """Reference-style real-codec eval over files at pr_list [0, 1]
     (4-part bitstream accounting, step.py:218-330 semantics)."""

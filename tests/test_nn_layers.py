@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from resdsic_tpu.nn import (
@@ -98,6 +99,7 @@ def test_win_based_attention_shapes_and_jit():
     assert np.all(np.isfinite(np.asarray(y)))
 
 
+@pytest.mark.slow
 def test_win_noshift_attention_block():
     m = WinNoShiftAttention(dim=32, num_heads=8, window_size=8, shift_size=4)
     x = jax.random.normal(jax.random.key(0), (1, 32, 32, 32))

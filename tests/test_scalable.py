@@ -24,6 +24,7 @@ def ind_model():
     return model, params
 
 
+@pytest.mark.slow
 def test_scalable_forward_shapes(ind_model):
     model, params = ind_model
     x = jax.random.uniform(jax.random.key(2), (2, 64, 64, 3))
@@ -83,6 +84,7 @@ def test_scalable_codec_base_quality_roundtrip(ind_model):
     assert rec["x_hat"].shape == (1, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_scalable_codec_progressive_roundtrip(ind_model):
     model, params = ind_model
     x = jax.random.uniform(jax.random.key(6), (1, 64, 64, 3))
@@ -123,6 +125,7 @@ def test_shared_entropy_variant_builds_and_runs():
     assert out["x_hat"].shape == (1, 1, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_stepped_paths_match_fused(ind_model):
     """compress_stepped/decompress_stepped equal the fused paths."""
     model, params = ind_model

@@ -21,6 +21,7 @@ def tcm_small():
     return model, params
 
 
+@pytest.mark.slow
 def test_tcm_forward(tcm_small):
     model, params = tcm_small
     x = jax.random.uniform(jax.random.key(2), (2, 128, 128, 3))
@@ -32,6 +33,7 @@ def test_tcm_forward(tcm_small):
         assert np.all(np.asarray(l) > 0)
 
 
+@pytest.mark.slow
 def test_tcm_grads(tcm_small):
     model, params = tcm_small
     x = jax.random.uniform(jax.random.key(2), (1, 128, 128, 3))
@@ -48,6 +50,7 @@ def test_tcm_grads(tcm_small):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+@pytest.mark.slow
 def test_tcm_codec_roundtrip(tcm_small):
     model, params = tcm_small
     x = jax.random.uniform(jax.random.key(5), (1, 128, 128, 3))
@@ -68,6 +71,7 @@ def test_tcm_default_dims():
     assert m.config == (2, 2, 2, 2, 2, 2)
 
 
+@pytest.mark.slow
 def test_scalable_tcm_forward_and_roundtrip():
     from resdsic_tpu.models import ScalableCodec, ScalableTCM
 

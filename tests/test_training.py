@@ -69,6 +69,7 @@ def test_plateau_scheduler():
     assert sched.step(0.5) == pytest.approx(3e-5)  # improvement resets
 
 
+@pytest.mark.slow
 def test_train_step_cnn_single_device():
     model = WACNN(N=32, M=64, num_slices=4, max_support_slices=2)
     x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
@@ -93,6 +94,7 @@ def test_train_step_cnn_single_device():
     assert float(jnp.max(jnp.abs(q0 - q2))) > 0
 
 
+@pytest.mark.slow
 def test_train_step_scalable_on_mesh():
     """Data-parallel train step over an 8-device CPU mesh."""
     assert jax.device_count() >= 8

@@ -57,6 +57,7 @@ def test_icd_mask_policies_forward(policy):
     assert np.all(np.isfinite(np.asarray(out["x_hat"])))
 
 
+@pytest.mark.slow
 def test_icd_learnable_gamma_forward_and_grads():
     model = ScalableICD(
         **{**TINY, "lmbda_list": (0.0035, 0.01, 0.065)},
@@ -80,6 +81,7 @@ def test_icd_learnable_gamma_forward_and_grads():
     )
 
 
+@pytest.mark.slow
 def test_icd_codec_roundtrip_with_mask():
     model = ScalableICD(**TINY, mask_policy="scalable_res")
     # scalable_res with 2 levels: q=1 is top level → all-ones; use 3 levels
@@ -126,6 +128,7 @@ def test_cicd_joiners(joiner):
     assert np.all(np.isfinite(np.asarray(out["x_hat"])))
 
 
+@pytest.mark.slow
 def test_cicd_conditional_codec_roundtrip():
     model = ConditionalScalableICD(
         **TINY, mask_policy="two-levels", joiner_policy="conditional"
@@ -141,6 +144,7 @@ def test_cicd_conditional_codec_roundtrip():
     )
 
 
+@pytest.mark.slow
 def test_cimd_concatenation_dual_decoder():
     model = ConditionalScalableIMD(
         **TINY, mask_policy="two-levels", joiner_policy="concatenation"
@@ -157,6 +161,7 @@ def test_cimd_concatenation_dual_decoder():
     assert rec["x_hat"].shape == (1, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_learnable_mask_nested_coding_roundtrip():
     model = ScalableICD(
         **{**TINY, "lmbda_list": (0.0035, 0.01, 0.065)},

@@ -29,6 +29,7 @@ def test_forward_shapes_and_likelihoods(small_model):
         assert np.all(arr > 0) and np.all(arr <= 1.0)
 
 
+@pytest.mark.slow
 def test_forward_jits_and_grads(small_model):
     model, params = small_model
     x = jax.random.uniform(jax.random.key(2), (1, 64, 64, 3))
@@ -51,6 +52,7 @@ def test_forward_jits_and_grads(small_model):
     assert nonzero > len(leaves) * 0.5
 
 
+@pytest.mark.slow
 def test_real_codec_roundtrip_bitexact(small_model):
     """Decoder must rebuild the encoder's latent y_hat BIT-EXACTLY."""
     model, params = small_model
