@@ -12,11 +12,16 @@ matching the reference's {"strings": [...], "shape": z_spatial} contract.
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Shared pool for per-image rANS calls: the ctypes calls release the GIL, so
+# the 16-ish independent streams of a batch encode/decode in parallel.
+_HOST_POOL = ThreadPoolExecutor(max_workers=8, thread_name_prefix="rans")
 
 from ..coding import BufferedRansEncoder, CdfTable, RansDecoder, RansEncoder
 from ..entropy import build_eb_table, build_gc_table, eb_medians, get_scale_table
@@ -73,6 +78,13 @@ class WACNNCodec:
         )
         self._synth_fn = jax.jit(functools.partial(model.apply, method="synthesize"))
 
+    @staticmethod
+    def _host_pool_map(fn, n: int) -> list:
+        """Run fn(0..n-1) on the shared pool (order-preserving)."""
+        if n == 1:
+            return [fn(0)]
+        return list(_HOST_POOL.map(fn, range(n)))
+
     # -- table management (reference `update()`, cnn.py:135-140) --
 
     def update(self, force: bool = False) -> bool:
@@ -107,14 +119,12 @@ class WACNNCodec:
 
         z_idx = eb_build_indexes(z_symbols.shape, z_symbols.shape[-1])
         enc = RansEncoder()
-        z_strings = [
-            enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table)
-            for i in range(b)
-        ]
-        y_strings = [
-            enc.encode_with_indexes(y_symbols[i], y_indexes[i], self.gc_table)
-            for i in range(b)
-        ]
+        z_strings = self._host_pool_map(
+            lambda i: enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table), b
+        )
+        y_strings = self._host_pool_map(
+            lambda i: enc.encode_with_indexes(y_symbols[i], y_indexes[i], self.gc_table), b
+        )
         result = {
             "strings": [y_strings, z_strings],
             "shape": tuple(z_symbols.shape[1:3]),
@@ -203,7 +213,16 @@ class WACNNCodec:
     def decompress(self, strings, shape, return_debug: bool = False) -> Dict[str, Any]:
         """Fused path: decode_begin + (num_slices-1) decode_steps +
         decode_end — one dispatch per slice instead of two, with the native
-        rANS decode interleaved on the host."""
+        rANS decode interleaved on the host.
+
+        Link-bound tuning (dominant on tunneled TPUs, still free locally):
+          * index fetches are issued with copy_to_host_async right after the
+            producing dispatch, so the d2h overlaps the step's own compute;
+          * decoded symbols upload as int8 (they are int8-range clamped by
+            the encoder), quartering the per-slice h2d volume;
+          * per-image rANS decode fans out over a thread pool (the ctypes
+            calls release the GIL).
+        """
         self._check_updated()
         y_strings, z_strings = strings[0], strings[1]
         z_hat = self._decode_z(z_strings, shape)
@@ -222,16 +241,16 @@ class WACNNCodec:
         latent_means, latent_scales, mu, indexes = self._decode_begin_fn(
             self.params, z_hat
         )
+        indexes.copy_to_host_async()
 
         def decode_syms(idx_dev):
             idx_np = np.asarray(idx_dev)
+            outs = self._host_pool_map(
+                lambda j: decoders[j].decode_stream(idx_np[j], self.gc_table),
+                b,
+            )
             return jnp.asarray(
-                np.stack(
-                    [
-                        decoders[j].decode_stream(idx_np[j], self.gc_table)
-                        for j in range(b)
-                    ]
-                ).reshape(b, yh, yw, sc)
+                np.stack(outs).astype(np.int8).reshape(b, yh, yw, sc)
             )
 
         slices: List[jax.Array] = []
@@ -246,6 +265,7 @@ class WACNNCodec:
                 latent_scales=latent_scales,
                 support=tuple(slices[: self.model.max_support_slices]),
             )
+            indexes.copy_to_host_async()
             slices.append(y_prev)
 
         syms = decode_syms(indexes)
@@ -372,14 +392,12 @@ class ScalableCodec(WACNNCodec):
 
         z_idx = eb_build_indexes(z_symbols.shape, z_symbols.shape[-1])
         enc = RansEncoder()
-        z_strings = [
-            enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table)
-            for i in range(b)
-        ]
-        y_strings = [
-            enc.encode_with_indexes(y_symbols[i], y_indexes[i], self.gc_table)
-            for i in range(b)
-        ]
+        z_strings = self._host_pool_map(
+            lambda i: enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table), b
+        )
+        y_strings = self._host_pool_map(
+            lambda i: enc.encode_with_indexes(y_symbols[i], y_indexes[i], self.gc_table), b
+        )
         if not with_prog:
             result = {
                 "strings": [y_strings, z_strings],
@@ -393,18 +411,19 @@ class ScalableCodec(WACNNCodec):
         yp_symbols = np.asarray(out["y_prog_symbols"])
         yp_indexes = np.asarray(out["y_prog_indexes"])
         zp_idx = eb_build_indexes(zp_symbols.shape, zp_symbols.shape[-1])
-        z_strings_prog = [
-            enc.encode_with_indexes(zp_symbols[i], zp_idx[i], self.eb_prog_table)
-            for i in range(b)
-        ]
+        z_strings_prog = self._host_pool_map(
+            lambda i: enc.encode_with_indexes(zp_symbols[i], zp_idx[i], self.eb_prog_table),
+            b,
+        )
+        ns = self.model.num_slices
+        prog_flat = self._host_pool_map(
+            lambda k: enc.encode_with_indexes(
+                yp_symbols[k % b, k // b], yp_indexes[k % b, k // b], self.gc_table
+            ),
+            ns * b,
+        )
         progressive_strings = [
-            [
-                enc.encode_with_indexes(
-                    yp_symbols[j, i], yp_indexes[j, i], self.gc_table
-                )
-                for j in range(b)
-            ]
-            for i in range(self.model.num_slices)
+            [prog_flat[i * b + j] for j in range(b)] for i in range(ns)
         ]
         result = {
             "strings": [y_strings, z_strings, z_strings_prog, progressive_strings],
@@ -590,30 +609,29 @@ class ScalableCodec(WACNNCodec):
         (lm, ls, mu, idx, mp, sp, mu_p, idx_p, mask) = (
             self._decode_begin_scal_fn(self.params, z_hat, z_hat_prog, q=q)
         )
+        idx.copy_to_host_async()
+        idx_p.copy_to_host_async()
 
         def decode_base(idx_dev):
             idx_np = np.asarray(idx_dev)
+            outs = self._host_pool_map(
+                lambda j: decoders[j].decode_stream(idx_np[j], self.gc_table), b
+            )
             return jnp.asarray(
-                np.stack(
-                    [
-                        decoders[j].decode_stream(idx_np[j], self.gc_table)
-                        for j in range(b)
-                    ]
-                ).reshape(b, yh, yw, sc)
+                np.stack(outs).astype(np.int8).reshape(b, yh, yw, sc)
             )
 
         def decode_prog(i, idx_dev):
             idx_np = np.asarray(idx_dev)
             dec_p = RansDecoder()
+            outs = self._host_pool_map(
+                lambda j: dec_p.decode_with_indexes(
+                    progressive_strings[i][j], idx_np[j], self.gc_table
+                ),
+                b,
+            )
             return jnp.asarray(
-                np.stack(
-                    [
-                        dec_p.decode_with_indexes(
-                            progressive_strings[i][j], idx_np[j], self.gc_table
-                        )
-                        for j in range(b)
-                    ]
-                ).reshape(b, yh, yw, sc)
+                np.stack(outs).astype(np.int8).reshape(b, yh, yw, sc)
             )
 
         slices: List[jax.Array] = []
@@ -631,6 +649,8 @@ class ScalableCodec(WACNNCodec):
                 support_prog=tuple(slices_prog[:max_s]),
                 mask=mask,
             )
+            idx.copy_to_host_async()
+            idx_p.copy_to_host_async()
             slices.append(y_prev)
             slices_prog.append(yp_prev)
 

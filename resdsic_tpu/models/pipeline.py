@@ -70,22 +70,33 @@ class StreamingCodec:
                 except BaseException as e:  # surface to caller
                     errors.append(e)
                     return
-                mid_q.put((i, out))
+                # bounded put with error polling: if every decode worker has
+                # died while the queue is full, a bare put() would block
+                # forever and map() would never raise
+                while True:
+                    try:
+                        mid_q.put((i, out), timeout=0.2)
+                        break
+                    except queue.Full:
+                        if errors:
+                            return
 
         def decoder():
             while True:
                 item = mid_q.get()
                 if item is None:
                     return
+                if errors:
+                    continue  # drain without working; encoders stop on errors
                 i, out = item
                 try:
                     rec = self.codec.decompress(
                         out["strings"], out["shape"], **self._kwargs()
                     )
+                    rec["x_hat"].block_until_ready()
                 except BaseException as e:
                     errors.append(e)
-                    return
-                rec["x_hat"].block_until_ready()
+                    continue  # keep draining so encoders never jam
                 results[i] = {**out, "x_hat": rec["x_hat"]}
                 if on_result is not None:
                     on_result(i, results[i])

@@ -97,7 +97,7 @@ def make_train_step(
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
+        data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         return jax.jit(
             train_step,
             in_shardings=(repl, data, repl, repl, repl),
@@ -139,6 +139,6 @@ def make_eval_step(model, criterion, mesh: Optional[Mesh] = None, quality=None):
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
+        data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=repl)
     return jax.jit(eval_step)

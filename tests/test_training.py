@@ -119,6 +119,52 @@ def test_train_step_scalable_on_mesh():
     assert np.isfinite(float(em["psnr"].mean()))
 
 
+@pytest.mark.slow
+def test_train_step_on_2x4_multihost_mesh():
+    """2-axis ('data_dcn','data_ici') mesh: the pod-slice layout (SURVEY
+    §2.11). Batch shards over both axes; XLA lowers the grad all-reduce
+    hierarchically (ICI first, then DCN)."""
+    from resdsic_tpu.parallel import batch_spec, make_multihost_mesh
+
+    assert jax.device_count() >= 8
+    mesh = make_multihost_mesh(dcn_size=2, devices=jax.devices()[:8])
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("data_dcn", "data_ici")
+    assert batch_spec(mesh) == jax.sharding.PartitionSpec(
+        ("data_dcn", "data_ici")
+    )
+
+    model = WACNN(N=32, M=64, num_slices=2, max_support_slices=1)
+    x = jax.random.uniform(jax.random.key(0), (16, 64, 64, 3))
+    params = model.init(
+        {"params": jax.random.key(1), "noise": jax.random.key(2)}, x[:1]
+    )
+    state = create_train_state(params)
+    crit = RateDistortionLoss(lmbda=0.01)
+    step = make_train_step(model, crit, mesh=mesh, donate=False)
+
+    xb = shard_batch(x, mesh)
+    # the batch is really split over all 8 devices (2 per device)
+    assert {s.data.shape[0] for s in xb.addressable_shards} == {2}
+    s1, m1 = step(state, xb, jax.random.key(3), 1e-4, 1e-3)
+    assert np.isfinite(float(m1["loss"]))
+
+    # per-device losses must have been averaged across BOTH axes: the same
+    # step on a 1-device mesh over the same global batch agrees closely
+    mesh1 = make_mesh(1)
+    step1 = make_train_step(model, crit, mesh=mesh1, donate=False)
+    s1b, m1b = step1(state, shard_batch(x, mesh1), jax.random.key(3), 1e-4, 1e-3)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m1b["loss"]), rtol=2e-4
+    )
+
+
+def test_local_batch_slice_single_process():
+    from resdsic_tpu.parallel import local_batch_slice
+
+    assert local_batch_slice(16) == slice(0, 16)
+
+
 def test_freezer_mask_and_apply():
     import jax.numpy as jnp
     from resdsic_tpu.models import ResWACNNIndependentEntropy
