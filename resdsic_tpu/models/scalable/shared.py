@@ -162,12 +162,20 @@ class ResWACNNSharedEntropy(WACNN):
     def extract_mask(
         self, scale: jax.Array, q: float, training: bool = False
     ) -> jax.Array:
-        """Latent masking policies (ref shared.py:191-229); q is the
-        normalized level index (or a raw pr value for point-based-std)."""
+        """Latent masking policies (ref shared.py:191-229); q is the RAW
+        quality value exactly as the reference passes it (shared.py:300):
+        point-based-std consumes it directly as a quantile fraction (x0.1,
+        ref shared.py:197) — a lambda value or the fractional test grid
+        [0, 0.5, 0.4, ...] is NOT index-normalized first. The learnable /
+        two-level policies consume the level index, so lambda values are
+        mapped through lmbda_index_list (the reference does the same lookup
+        at shared.py:211; its raw `pr == 0` guard crashes torch.stack on the
+        first lambda — repaired here by normalizing before the guard)."""
         if self.mask_policy == "point-based-std":
             pr = q * 0.1
             quantile = jnp.quantile(scale.astype(jnp.float32).ravel(), pr)
             return (scale >= quantile).astype(jnp.float32)
+        q = self.normalize_quality(q)
         if self.mask_policy == "learnable-mask":
             if q == 0:
                 return jnp.zeros_like(scale)

@@ -152,3 +152,29 @@ def test_stepped_paths_match_fused(ind_model):
     np.testing.assert_array_equal(
         np.asarray(rec_f["y_hat"]), np.asarray(rec_s["y_hat"])
     )
+
+
+def test_extract_mask_point_based_std_raw_quality(ind_model):
+    """point-based-std consumes the RAW quality value as the reference does
+    (shared.py:300 passes the list_quality element; :197 multiplies by 0.1) —
+    a lambda value must NOT be index-normalized first."""
+    model, params = ind_model
+    pbs = ResWACNNIndependentEntropy(
+        N=64, M=64, num_slices=4, max_support_slices=2,
+        lmbda_list=(0.0035, 0.065), mask_policy="point-based-std",
+    )
+    scale = jax.random.uniform(
+        jax.random.key(7), (1, 8, 8, 64), minval=0.05, maxval=2.0
+    )
+
+    def mask_for(q):
+        return pbs.apply(params, scale, q, method="extract_mask")
+
+    # fractional test-grid quality 0.5 -> keep scales above the 0.05-quantile
+    m = np.asarray(mask_for(0.5))
+    frac = m.mean()
+    assert 0.93 <= frac <= 0.97  # ~95% kept
+
+    # lambda value 0.065 -> quantile fraction 0.0065, NOT index 1 -> 0.1
+    m_lmbda = np.asarray(mask_for(0.065))
+    assert m_lmbda.mean() > 0.99
