@@ -25,7 +25,7 @@ from __future__ import annotations
 __version__ = "0.1.0"
 
 _entropy_coder = "ans"
-_available_entropy_coders = ["ans"]
+_available_entropy_coders = ["ans", "rangecoder"]
 
 
 def set_entropy_coder(entropy_coder: str) -> None:

@@ -73,6 +73,41 @@ _lib.pmf_to_quantized_cdf_batch.argtypes = [
     ctypes.c_int32, _c_i32p,
 ]
 
+# range coder (rc_*): FIFO counterpart sharing the CdfTable conventions
+_lib.rc_encoder_new.restype = ctypes.c_void_p
+_lib.rc_encoder_free.argtypes = [ctypes.c_void_p]
+_lib.rc_encoder_put.restype = ctypes.c_int
+_lib.rc_encoder_put.argtypes = [
+    ctypes.c_void_p, _c_i32p, _c_i32p, ctypes.c_int64,
+    _c_i32p, _c_i32p, _c_i32p, ctypes.c_int32, ctypes.c_int32,
+]
+_lib.rc_encoder_flush.restype = _c_u8p
+_lib.rc_encoder_flush.argtypes = [
+    ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+]
+_lib.rc_encode_with_indexes.restype = _c_u8p
+_lib.rc_encode_with_indexes.argtypes = [
+    _c_i32p, _c_i32p, ctypes.c_int64,
+    _c_i32p, _c_i32p, _c_i32p, ctypes.c_int32, ctypes.c_int32,
+    ctypes.POINTER(ctypes.c_int64),
+]
+_lib.rc_decoder_new.restype = ctypes.c_void_p
+_lib.rc_decoder_free.argtypes = [ctypes.c_void_p]
+_lib.rc_decoder_set_stream.restype = ctypes.c_int
+_lib.rc_decoder_set_stream.argtypes = [
+    ctypes.c_void_p, _c_u8p, ctypes.c_int64,
+]
+_lib.rc_decoder_decode_stream.restype = ctypes.c_int
+_lib.rc_decoder_decode_stream.argtypes = [
+    ctypes.c_void_p, _c_i32p, ctypes.c_int64,
+    _c_i32p, _c_i32p, _c_i32p, ctypes.c_int32, ctypes.c_int32, _c_i32p,
+]
+_lib.rc_decode_with_indexes.restype = ctypes.c_int
+_lib.rc_decode_with_indexes.argtypes = [
+    _c_u8p, ctypes.c_int64, _c_i32p, ctypes.c_int64,
+    _c_i32p, _c_i32p, _c_i32p, ctypes.c_int32, ctypes.c_int32, _c_i32p,
+]
+
 
 def _as_i32(a) -> np.ndarray:
     arr = np.ascontiguousarray(a, dtype=np.int32)
@@ -261,11 +296,143 @@ class RansDecoder:
         return out
 
 
+class BufferedRangeEncoder:
+    """Range-coder buffered encoder. FIFO, so puts encode eagerly; flush()
+    finalizes the stream and resets the state for reuse."""
+
+    def __init__(self):
+        self._handle = _lib.rc_encoder_new()
+        self._free = _lib.rc_encoder_free  # survives interpreter teardown
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._free(self._handle)
+            self._handle = None
+
+    def encode_with_indexes(self, symbols, indexes, table: CdfTable) -> None:
+        sym = _as_i32(symbols).ravel()
+        idx = _as_i32(indexes).ravel()
+        if sym.shape != idx.shape:
+            raise ValueError("symbols/indexes shape mismatch")
+        rc = _lib.rc_encoder_put(
+            self._handle, _i32p(sym), _i32p(idx), len(sym),
+            _i32p(table.cdf), _i32p(table.cdf_length), _i32p(table.offset),
+            table.ncdfs, table.max_len,
+        )
+        if rc != 0:
+            raise ValueError(f"encode_with_indexes failed (code {rc})")
+
+    def flush(self) -> bytes:
+        size = ctypes.c_int64()
+        buf = _lib.rc_encoder_flush(self._handle, ctypes.byref(size))
+        try:
+            return ctypes.string_at(buf, size.value)
+        finally:
+            _lib.rans_free_buffer(buf)
+
+
+class RangeEncoder:
+    """One-shot range-coder encoder (same API as RansEncoder)."""
+
+    def encode_with_indexes(self, symbols, indexes, table: CdfTable) -> bytes:
+        sym = _as_i32(symbols).ravel()
+        idx = _as_i32(indexes).ravel()
+        if sym.shape != idx.shape:
+            raise ValueError("symbols/indexes shape mismatch")
+        size = ctypes.c_int64()
+        buf = _lib.rc_encode_with_indexes(
+            _i32p(sym), _i32p(idx), len(sym),
+            _i32p(table.cdf), _i32p(table.cdf_length), _i32p(table.offset),
+            table.ncdfs, table.max_len, ctypes.byref(size),
+        )
+        if not buf:
+            raise ValueError(f"encode_with_indexes failed (code {size.value})")
+        try:
+            return ctypes.string_at(buf, size.value)
+        finally:
+            _lib.rans_free_buffer(buf)
+
+
+class RangeDecoder:
+    """Stateful range-coder decoder (same API as RansDecoder)."""
+
+    def __init__(self):
+        self._handle = _lib.rc_decoder_new()
+        self._free = _lib.rc_decoder_free  # survives interpreter teardown
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._free(self._handle)
+            self._handle = None
+
+    def set_stream(self, data: bytes) -> None:
+        buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+        rc = _lib.rc_decoder_set_stream(
+            self._handle, ctypes.cast(buf, _c_u8p), len(data)
+        )
+        if rc != 0:
+            raise ValueError(f"set_stream failed (code {rc})")
+
+    def decode_stream(self, indexes, table: CdfTable) -> np.ndarray:
+        idx = _as_i32(indexes).ravel()
+        out = np.empty(len(idx), dtype=np.int32)
+        rc = _lib.rc_decoder_decode_stream(
+            self._handle, _i32p(idx), len(idx),
+            _i32p(table.cdf), _i32p(table.cdf_length), _i32p(table.offset),
+            table.ncdfs, table.max_len, _i32p(out),
+        )
+        if rc != 0:
+            raise ValueError(f"decode_stream failed (code {rc})")
+        return out
+
+    def decode_with_indexes(self, data: bytes, indexes, table: CdfTable) -> np.ndarray:
+        idx = _as_i32(indexes).ravel()
+        out = np.empty(len(idx), dtype=np.int32)
+        buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+        rc = _lib.rc_decode_with_indexes(
+            ctypes.cast(buf, _c_u8p), len(data), _i32p(idx), len(idx),
+            _i32p(table.cdf), _i32p(table.cdf_length), _i32p(table.offset),
+            table.ncdfs, table.max_len, _i32p(out),
+        )
+        if rc != 0:
+            raise ValueError(f"decode_with_indexes failed (code {rc})")
+        return out
+
+
+_CODER_CLASSES = {
+    "ans": (RansEncoder, RansDecoder, BufferedRansEncoder),
+    "rangecoder": (RangeEncoder, RangeDecoder, BufferedRangeEncoder),
+}
+
+
+def coder_classes(name: str | None = None):
+    """(encoder_cls, decoder_cls, buffered_encoder_cls) for a coder name.
+
+    With name=None, uses the session default from the top-level registry
+    (resdsic_tpu.set_entropy_coder) — the TPU-native analogue of the
+    reference's _EntropyCoder proxy (entropy_models.py:17-51)."""
+    if name is None:
+        from .. import get_entropy_coder
+
+        name = get_entropy_coder()
+    try:
+        return _CODER_CLASSES[name]
+    except KeyError:
+        raise ValueError(
+            f'Unknown entropy coder "{name}" '
+            f"(available: {', '.join(_CODER_CLASSES)})"
+        ) from None
+
+
 __all__ = [
     "CdfTable",
     "BufferedRansEncoder",
     "RansEncoder",
     "RansDecoder",
+    "BufferedRangeEncoder",
+    "RangeEncoder",
+    "RangeDecoder",
+    "coder_classes",
     "pmf_to_quantized_cdf",
     "pmf_to_quantized_cdf_batch",
 ]

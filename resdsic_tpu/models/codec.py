@@ -23,7 +23,7 @@ import numpy as np
 # the 16-ish independent streams of a batch encode/decode in parallel.
 _HOST_POOL = ThreadPoolExecutor(max_workers=8, thread_name_prefix="rans")
 
-from ..coding import BufferedRansEncoder, CdfTable, RansDecoder, RansEncoder
+from ..coding import CdfTable, coder_classes
 from ..entropy import build_eb_table, build_gc_table, eb_medians, get_scale_table
 from ..entropy.tables import eb_build_indexes
 
@@ -41,6 +41,10 @@ class WACNNCodec:
     def __init__(self, model, params):
         self.model = model
         self.params = params
+        # bind the session's default entropy coder ("ans" | "rangecoder"),
+        # as the reference binds _EntropyCoder at EntropyModel construction
+        # (entropy_models.py:17-51)
+        self._enc_cls, self._dec_cls, self._buf_enc_cls = coder_classes()
         self.eb_table: CdfTable | None = None
         self.gc_table: CdfTable | None = None
         self.scale_table = get_scale_table()
@@ -118,7 +122,7 @@ class WACNNCodec:
         b = z_symbols.shape[0]
 
         z_idx = eb_build_indexes(z_symbols.shape, z_symbols.shape[-1])
-        enc = RansEncoder()
+        enc = self._enc_cls()
         z_strings = self._host_pool_map(
             lambda i: enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table), b
         )
@@ -179,7 +183,7 @@ class WACNNCodec:
         y_indexes = np.asarray(jnp.stack(idx_slices, axis=1))
 
         z_idx = eb_build_indexes(z_symbols.shape, z_symbols.shape[-1])
-        enc = RansEncoder()
+        enc = self._enc_cls()
         z_strings = [
             enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table)
             for i in range(b)
@@ -202,7 +206,7 @@ class WACNNCodec:
         zh, zw = shape
         c = getattr(self.model, "hyper_ch", self.model.N)
         z_idx = eb_build_indexes((1, zh, zw, c), c)[0]
-        dec = RansDecoder()
+        dec = self._dec_cls()
         outs = [
             dec.decode_with_indexes(s, z_idx, self.eb_table).reshape(zh, zw, c)
             for s in z_strings
@@ -234,7 +238,7 @@ class WACNNCodec:
 
         decoders = []
         for s in y_strings:
-            d = RansDecoder()
+            d = self._dec_cls()
             d.set_stream(s)
             decoders.append(d)
 
@@ -391,7 +395,7 @@ class ScalableCodec(WACNNCodec):
         b = z_symbols.shape[0]
 
         z_idx = eb_build_indexes(z_symbols.shape, z_symbols.shape[-1])
-        enc = RansEncoder()
+        enc = self._enc_cls()
         z_strings = self._host_pool_map(
             lambda i: enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table), b
         )
@@ -474,7 +478,7 @@ class ScalableCodec(WACNNCodec):
         y_symbols = np.asarray(jnp.stack(sym_slices, axis=1))
         y_indexes = np.asarray(jnp.stack(idx_slices, axis=1))
         z_idx = eb_build_indexes(z_symbols.shape, z_symbols.shape[-1])
-        enc = RansEncoder()
+        enc = self._enc_cls()
         z_strings = [
             enc.encode_with_indexes(z_symbols[i], z_idx[i], self.eb_table)
             for i in range(b)
@@ -584,7 +588,7 @@ class ScalableCodec(WACNNCodec):
         zp_h, zp_w = shape[-1]
         c = self.model.hyper_channels
         zp_idx = eb_build_indexes((1, zp_h, zp_w, c), c)[0]
-        dec1 = RansDecoder()
+        dec1 = self._dec_cls()
         zp_sym = np.stack(
             [
                 dec1.decode_with_indexes(s, zp_idx, self.eb_prog_table)
@@ -602,7 +606,7 @@ class ScalableCodec(WACNNCodec):
 
         decoders = []
         for s in y_strings:
-            d = RansDecoder()
+            d = self._dec_cls()
             d.set_stream(s)
             decoders.append(d)
 
@@ -623,7 +627,7 @@ class ScalableCodec(WACNNCodec):
 
         def decode_prog(i, idx_dev):
             idx_np = np.asarray(idx_dev)
-            dec_p = RansDecoder()
+            dec_p = self._dec_cls()
             outs = self._host_pool_map(
                 lambda j: dec_p.decode_with_indexes(
                     progressive_strings[i][j], idx_np[j], self.gc_table
@@ -701,7 +705,7 @@ class ScalableCodec(WACNNCodec):
 
         decoders = []
         for s in y_strings:
-            d = RansDecoder()
+            d = self._dec_cls()
             d.set_stream(s)
             decoders.append(d)
 
@@ -711,7 +715,7 @@ class ScalableCodec(WACNNCodec):
             zp_h, zp_w = shape[-1]
             c = self.model.hyper_channels
             zp_idx = eb_build_indexes((1, zp_h, zp_w, c), c)[0]
-            dec1 = RansDecoder()
+            dec1 = self._dec_cls()
             zp_sym = np.stack(
                 [
                     dec1.decode_with_indexes(s, zp_idx, self.eb_prog_table)
@@ -762,7 +766,7 @@ class ScalableCodec(WACNNCodec):
                     support=support_p, block_mask=block_mask,
                 )
                 idxp_np = np.asarray(idx_p)
-                dec_p = RansDecoder()
+                dec_p = self._dec_cls()
                 syms_p = np.stack(
                     [
                         dec_p.decode_with_indexes(

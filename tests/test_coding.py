@@ -139,3 +139,89 @@ def test_empty_flush():
     enc = BufferedRansEncoder()
     stream = enc.flush()
     assert len(stream) == 8  # just the flushed state
+
+
+# ---------------------------------------------------------------------------
+# Range coder ("rangecoder" registry entry, ref src/compress/__init__.py:22-62)
+# ---------------------------------------------------------------------------
+
+from resdsic_tpu.coding import (  # noqa: E402
+    BufferedRangeEncoder,
+    RangeDecoder,
+    RangeEncoder,
+    coder_classes,
+)
+
+
+def test_rangecoder_roundtrip_simple():
+    table = _gaussian_table([0.5, 1.0, 4.0, 32.0])
+    rng = np.random.default_rng(0)
+    n = 10000
+    indexes = rng.integers(0, 4, n).astype(np.int32)
+    scales = np.array([0.5, 1.0, 4.0, 32.0])[indexes]
+    symbols = np.round(rng.normal(0, scales)).astype(np.int32)
+
+    stream = RangeEncoder().encode_with_indexes(symbols, indexes, table)
+    out = RangeDecoder().decode_with_indexes(stream, indexes, table)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_rangecoder_roundtrip_with_escapes():
+    table = _gaussian_table([0.2, 1.0])
+    rng = np.random.default_rng(1)
+    n = 5000
+    indexes = rng.integers(0, 2, n).astype(np.int32)
+    symbols = rng.integers(-1000, 1000, n).astype(np.int32)
+    symbols[::97] = 10**6
+    symbols[::101] = -(10**6)
+
+    stream = RangeEncoder().encode_with_indexes(symbols, indexes, table)
+    out = RangeDecoder().decode_with_indexes(stream, indexes, table)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_rangecoder_buffered_multi_put_stream():
+    table = _gaussian_table([0.5, 2.0, 8.0])
+    rng = np.random.default_rng(2)
+    chunks = []
+    enc = BufferedRangeEncoder()
+    for _ in range(10):
+        idx = rng.integers(0, 3, 500).astype(np.int32)
+        sym = np.round(rng.normal(0, 3, 500)).astype(np.int32)
+        enc.encode_with_indexes(sym, idx, table)
+        chunks.append((sym, idx))
+    stream = enc.flush()
+
+    dec = RangeDecoder()
+    dec.set_stream(stream)
+    for sym, idx in chunks:
+        out = dec.decode_stream(idx, table)
+        np.testing.assert_array_equal(out, sym)
+
+
+def test_rangecoder_rate_close_to_ans():
+    """Both coders approach the entropy; sizes within a few percent."""
+    table = _gaussian_table([1.0])
+    rng = np.random.default_rng(3)
+    symbols = np.round(rng.normal(0, 1.0, 20000)).astype(np.int32)
+    indexes = np.zeros(20000, dtype=np.int32)
+    ans_len = len(RansEncoder().encode_with_indexes(symbols, indexes, table))
+    rc_len = len(RangeEncoder().encode_with_indexes(symbols, indexes, table))
+    assert abs(rc_len - ans_len) / ans_len < 0.05
+
+
+def test_entropy_coder_registry():
+    import resdsic_tpu as pkg
+
+    assert set(pkg.available_entropy_coders()) == {"ans", "rangecoder"}
+    assert pkg.get_entropy_coder() == "ans"
+    assert coder_classes("rangecoder") == (
+        RangeEncoder, RangeDecoder, BufferedRangeEncoder
+    )
+    pkg.set_entropy_coder("rangecoder")
+    try:
+        assert coder_classes()[0] is RangeEncoder
+    finally:
+        pkg.set_entropy_coder("ans")
+    with pytest.raises(ValueError):
+        pkg.set_entropy_coder("huffman")

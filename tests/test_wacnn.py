@@ -106,3 +106,22 @@ def test_default_config_matches_reference_dims():
 
     assert _hyper_widths(320, 192) == [320, 288, 256, 224, 192]
     assert _cc_widths(320) == [224, 176, 128, 64]
+
+def test_codec_roundtrip_with_rangecoder(small_model):
+    """The 'rangecoder' registry entry drives the full codec end-to-end."""
+    import resdsic_tpu as pkg
+
+    model, params = small_model
+    x = jax.random.uniform(jax.random.key(6), (1, 64, 64, 3))
+
+    pkg.set_entropy_coder("rangecoder")
+    try:
+        codec = WACNNCodec(model, params)
+        codec.update()
+        out = codec.compress(x, return_debug=True)
+        rec = codec.decompress(out["strings"], out["shape"], return_debug=True)
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+    finally:
+        pkg.set_entropy_coder("ans")
