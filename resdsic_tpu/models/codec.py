@@ -83,6 +83,26 @@ class WACNNCodec:
         self._synth_fn = jax.jit(functools.partial(model.apply, method="synthesize"))
 
     @staticmethod
+    def _warn_saturation(out: Dict[str, Any]) -> None:
+        """Surface int8 symbol-clamp saturation (VERDICT: the reference
+        bypass-codes outliers losslessly; our int8 transfer path clamps, which
+        is lossless only at trained-model symbol statistics — warn loudly when
+        that assumption is violated, e.g. untrained nets or adversarial
+        inputs)."""
+        n = int(np.asarray(out.get("n_saturated", 0)))
+        if n:
+            import warnings
+
+            warnings.warn(
+                f"{n} y symbols saturated the int8 clamp and will be "
+                "reconstructed incorrectly — the codec's narrow-transfer "
+                "path assumes trained-model residual statistics "
+                "(|y - mu| <= 127)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
+    @staticmethod
     def _host_pool_map(fn, n: int) -> list:
         """Run fn(0..n-1) on the shared pool (order-preserving)."""
         if n == 1:
@@ -116,6 +136,7 @@ class WACNNCodec:
         out = self._encode_fn(self.params, x)
         for k in ("z_symbols", "y_symbols", "y_indexes"):
             out[k].copy_to_host_async()
+        self._warn_saturation(out)
         z_symbols = np.asarray(out["z_symbols"])
         y_symbols = np.asarray(out["y_symbols"])
         y_indexes = np.asarray(out["y_indexes"])
@@ -389,6 +410,7 @@ class ScalableCodec(WACNNCodec):
         for k, v in out.items():
             if k != "y_hat":
                 v.copy_to_host_async()
+        self._warn_saturation(out)
         z_symbols = np.asarray(out["z_symbols"])
         y_symbols = np.asarray(out["y_symbols"])
         y_indexes = np.asarray(out["y_indexes"])

@@ -488,6 +488,16 @@ class ResWACNNSharedEntropy(WACNN):
 
         y_hat_slices, sym_slices, idx_slices = [], [], []
         yp_hat_slices, psym_slices, pidx_slices = [], [], []
+        n_saturated = jnp.zeros((), jnp.int32)
+
+        def _clip8(raw):
+            nonlocal n_saturated
+            clipped = jnp.clip(raw, -127, 127)
+            n_saturated = n_saturated + jnp.sum(
+                (raw != clipped).astype(jnp.int32)
+            )
+            return clipped
+
         for i in range(self.num_slices):
             y_slice = y[..., i * sc : (i + 1) * sc]
             support = self._support(y_hat_slices)
@@ -495,7 +505,7 @@ class ResWACNNSharedEntropy(WACNN):
                 i, latent_means, latent_scales, support
             )
             idx_slices.append(gc_build_indexes(scale, table))
-            y_q = jnp.clip(quantize_symbols(y_slice, mu), -127, 127)
+            y_q = _clip8(quantize_symbols(y_slice, mu))
             sym_slices.append(y_q)
             y_hat_slice = y_q.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
@@ -512,13 +522,12 @@ class ResWACNNSharedEntropy(WACNN):
                     pidx_slices.append(
                         gc_build_indexes(scale_p * block_mask, table)
                     )
-                    q_p = jnp.clip(
-                        quantize_symbols((yp_slice - mu_p) * block_mask),
-                        -127, 127,
+                    q_p = _clip8(
+                        quantize_symbols((yp_slice - mu_p) * block_mask)
                     )
                 else:
                     pidx_slices.append(gc_build_indexes(scale_p, table))
-                    q_p = jnp.clip(quantize_symbols(yp_slice, mu_p), -127, 127)
+                    q_p = _clip8(quantize_symbols(yp_slice, mu_p))
                 psym_slices.append(q_p)
                 yp_hat = q_p.astype(jnp.float32) + mu_p
                 if self.lrp_prog:
@@ -527,6 +536,7 @@ class ResWACNNSharedEntropy(WACNN):
 
         out["y_symbols"] = jnp.stack(sym_slices, axis=1).astype(jnp.int8)
         out["y_indexes"] = jnp.stack(idx_slices, axis=1).astype(jnp.uint8)
+        out["n_saturated"] = n_saturated
         if with_prog:
             out["y_prog_symbols"] = jnp.stack(psym_slices, axis=1).astype(jnp.int8)
             out["y_prog_indexes"] = jnp.stack(pidx_slices, axis=1).astype(jnp.uint8)

@@ -273,6 +273,7 @@ class WACNN(nn.Module):
         table = self._scale_table()
         sc = self.slice_ch
         y_hat_slices, sym_slices, idx_slices = [], [], []
+        n_saturated = jnp.zeros((), jnp.int32)
         for i in range(self.num_slices):
             y_slice = y[..., i * sc : (i + 1) * sc]
             support = self._support(y_hat_slices)
@@ -282,8 +283,12 @@ class WACNN(nn.Module):
             idx_slices.append(gc_build_indexes(scale, table))
             # int8-range clamp BEFORE reconstruction: y residuals are tiny in
             # trained models; clamping here keeps encoder/decoder consistent
-            # and quarters the dominant d2h transfer
-            y_q = jnp.clip(quantize_symbols(y_slice, mu), -127, 127)
+            # and quarters the dominant d2h transfer. Saturated residuals are
+            # reconstructed wrong (the reference bypass-codes them lossless),
+            # so the count is surfaced and the codec warns when nonzero.
+            raw = quantize_symbols(y_slice, mu)
+            y_q = jnp.clip(raw, -127, 127)
+            n_saturated = n_saturated + jnp.sum((raw != y_q).astype(jnp.int32))
             sym_slices.append(y_q)
             y_hat_slice = y_q.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
@@ -295,6 +300,7 @@ class WACNN(nn.Module):
             "y_symbols": jnp.stack(sym_slices, axis=1).astype(jnp.int8),
             "y_indexes": jnp.stack(idx_slices, axis=1).astype(jnp.uint8),
             "y_hat": jnp.concatenate(y_hat_slices, axis=-1),
+            "n_saturated": n_saturated,
         }
 
     def decode_begin(self, z_hat: jax.Array):

@@ -125,3 +125,20 @@ def test_codec_roundtrip_with_rangecoder(small_model):
         )
     finally:
         pkg.set_entropy_coder("ans")
+
+def test_int8_saturation_counter(small_model):
+    """encode_device reports clamp saturation; codec warns when nonzero."""
+    import warnings
+    from resdsic_tpu.models.codec import WACNNCodec as _C
+
+    model, params = small_model
+    x = jax.random.uniform(jax.random.key(8), (1, 64, 64, 3))
+    out = model.apply(params, x, method="encode_device")
+    assert "n_saturated" in out
+    assert int(np.asarray(out["n_saturated"])) == 0  # sane at this scale
+
+    with pytest.warns(RuntimeWarning, match="saturated the int8 clamp"):
+        _C._warn_saturation({"n_saturated": np.int32(5)})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _C._warn_saturation({"n_saturated": np.int32(0)})  # no warning
