@@ -21,7 +21,12 @@ import numpy as np
 
 from ..data import DataLoader, ImageFolder, SyntheticImageDataset, TestKodakDataset
 from ..models import ScalableCodec, WACNNCodec, configure_model
-from ..parallel import make_mesh, shard_batch
+from ..parallel import (
+    local_batch_slice,
+    make_mesh,
+    make_multihost_mesh,
+    shard_batch,
+)
 from ..training import (
     RateDistortionLoss,
     ReduceLROnPlateau,
@@ -47,7 +52,22 @@ def checkpoint_name(args) -> str:
     )
 
 
+def _maybe_init_distributed() -> None:
+    """Join a multi-host TPU slice (GKE indexed Job / Cloud TPU pod VM).
+
+    jax.distributed.initialize() auto-discovers the coordinator and process
+    ids from the TPU runtime env; only invoked when the env names more than
+    one worker so single-host runs stay untouched (kube/train-v5e-multihost
+    .yaml is the deployment that exercises this)."""
+    import os
+
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h]) > 1:
+        jax.distributed.initialize()
+
+
 def main(argv=None):
+    _maybe_init_distributed()
     args = parse_args(argv)
     set_seed(args.seed)
     logger = MetricsLogger(
@@ -85,9 +105,27 @@ def main(argv=None):
         x0,
     )
     n_dev = len(jax.devices())
-    mesh = make_mesh(n_dev) if args.batch_size % n_dev == 0 else None
-    shard_fn = (lambda b: shard_batch(b, mesh)) if mesh else (lambda b: b)
-    print(f"[train] devices={n_dev} mesh={'on' if mesh else 'off'}")
+    multihost = jax.process_count() > 1
+    if args.batch_size % n_dev != 0:
+        mesh = None
+    elif multihost:
+        mesh = make_multihost_mesh()  # ('data_dcn', 'data_ici')
+    else:
+        mesh = make_mesh(n_dev)
+    if mesh and multihost:
+        # each host loads the same seeded global batch and contributes its
+        # own contiguous slice (shard_batch assembles the global array from
+        # process-local shards)
+        sl = local_batch_slice(args.batch_size)
+        shard_fn = lambda b: shard_batch(
+            jax.tree_util.tree_map(lambda x: x[sl], b), mesh
+        )
+    else:
+        shard_fn = (lambda b: shard_batch(b, mesh)) if mesh else (lambda b: b)
+    print(
+        f"[train] devices={n_dev} processes={jax.process_count()} "
+        f"mesh={'x'.join(str(s) for s in mesh.devices.shape) if mesh else 'off'}"
+    )
 
     from ..training.freeze import print_information
 
