@@ -67,9 +67,6 @@ class Deconv(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         k, s = self.kernel_size, self.stride
         p = k // 2
-        out_pad = s - 1
-        pad_lo = k - 1 - p
-        pad_hi = k - 1 - p + out_pad
         in_ch = x.shape[-1]
 
         # Kernel stored HWIO for the equivalent correlation (already flipped
@@ -80,20 +77,72 @@ class Deconv(nn.Module):
             (k, k, in_ch, self.features),
             jnp.float32,
         )
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
-            lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if s == 1:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((k - 1 - p,) * 2, (k - 1 - p,) * 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            y = self._subpixel(x, kernel)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
             y = y + bias.astype(self.dtype)
         return y
+
+    def _subpixel(self, x: jax.Array, kernel: jax.Array) -> jax.Array:
+        """Phase-decomposed transposed conv: a DENSE conv + pixel shuffle.
+
+        The naive lhs_dilated formulation makes the MXU contract against a
+        ~(s^2-1)/s^2-zeros input and tiles badly for narrow outputs (the
+        final 192->3 deconv ran at 1.4% MFU). Mathematically the dilated
+        conv splits by output phase r in [0,s)^2: each phase only touches
+        kernel taps m === (pad_lo - r) mod s, i.e.
+
+            y[s*q + r] = sum_u W[s*u + m0_r] * x[q + u + e_r],
+            m0_r = (pad_lo - r) % s,  e_r = (r + m0_r - pad_lo) / s
+
+        — an ordinary dense conv per phase. All s^2 phases pack into ONE
+        conv with features*s^2 outputs (zero-padded taps) followed by
+        pixel_shuffle (channel order o*s^2 + ra*s + rb matches the shuffle's
+        (c, i, j) layout). Same products, same per-output summation ranks —
+        values match the dilated form to float round-off.
+        """
+        k, s, f = self.kernel_size, self.stride, self.features
+        pad_lo = k - 1 - k // 2
+        in_ch = x.shape[-1]
+
+        m0 = [(pad_lo - r) % s for r in range(s)]
+        n_taps = [-(-(k - m0[r]) // s) for r in range(s)]
+        e = [(r + m0[r] - pad_lo) // s for r in range(s)]
+        E = min(e)
+        U = max(n_taps[r] + e[r] - E for r in range(s))
+
+        packed = jnp.zeros((U, U, in_ch, f * s * s), kernel.dtype)
+        for ra in range(s):
+            for rb in range(s):
+                sub = kernel[m0[ra] :: s, m0[rb] :: s]  # (n_a, n_b, in, f)
+                ua, ub = e[ra] - E, e[rb] - E
+                packed = packed.at[
+                    ua : ua + sub.shape[0],
+                    ub : ub + sub.shape[1],
+                    :,
+                    (ra * s + rb) :: s * s,
+                ].set(sub)
+
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            packed.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((-E, U - 1 + E), (-E, U - 1 + E)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # packed channel index o*s^2 + ra*s + rb == pixel_shuffle's (c, i, j)
+        return pixel_shuffle(y, s)
 
 
 def conv(out_ch: int, kernel_size: int = 5, stride: int = 2, dtype=jnp.float32):
@@ -158,5 +207,13 @@ class Sequential(nn.Module):
 
 
 def gelu(x: jax.Array) -> jax.Array:
-    """Exact (erf) GELU — matches torch nn.GELU default."""
+    """GELU matching torch nn.GELU (exact erf) in f32.
+
+    Under 16-bit compute dtypes the tanh approximation is used instead: its
+    error (~3e-4 absolute) is below bf16 resolution (rel eps 2^-8), while
+    the erf lowering costs ~26x more VPU time on TPU v5e (measured 1.11 ms
+    vs 0.04 ms for a (16,192,128,96) map) — exactness that the dtype cannot
+    represent is not worth the cycles."""
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)

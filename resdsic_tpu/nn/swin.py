@@ -23,7 +23,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.math import NonNegativeParametrizer
-from .conv import Conv, SubpelConv3x3, conv1x1, conv3x3
+from .conv import Conv, SubpelConv3x3, conv1x1, conv3x3, gelu
 from .gdn import GDN
 
 Dtype = Any
@@ -256,7 +256,7 @@ class SwinTransformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(4 * self.input_dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp_0")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = gelu(h)
         h = nn.Dense(self.output_dim, dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp_2")(h)
         return x + maybe_drop(h)
