@@ -1,0 +1,318 @@
+"""On-device interleaved rANS — entropy coding inside the XLA program.
+
+The host C++ coder (csrc/rans.cpp) is format-compatible with the reference
+(compressai.ans, SURVEY.md §2.7) but forces every symbol plane through the
+host: on a tunneled/production TPU the d2h symbol+index traffic (~2.4 MB per
+768x512 image) and the 10 sequential host<->device decode round-trips are
+the codec's real latency floor, not compute. This module moves the coder
+onto the device: S parallel rANS lanes per image advance one symbol per
+`lax.scan` step, so the ONLY data crossing the link is the actual
+compressed bitstream (~bpp/8 bytes per pixel) plus a tiny per-lane header,
+and the channel-autoregressive decode becomes a single dispatch.
+
+Coder math (32-bit state, 16-bit renormalization, precision 16 — the
+textbook interleaved-rANS configuration; same per-row integer CDFs as the
+host coder, built by csrc/rans.cpp:pmf_to_quantized_cdf, so the symbol
+probabilities are bit-identical):
+
+    encode s:  if x >= freq << 16: emit(x & 0xffff); x >>= 16
+               x = (x // freq) << 16 | (x % freq) + cdf_lo
+    decode:    peek = x & 0xffff;  s = row_lut[peek]
+               x = freq * (x >> 16) + peek - cdf_lo
+               if x < 1 << 16: x = x << 16 | next_word()
+
+With freq <= 0xffff every encode step emits AT MOST one 16-bit word, so a
+scan step is (gather, int div/mod, shifts) per lane — pure VPU work.
+
+Escape/bypass divergence from the host coder: out-of-support symbols are
+CLAMPED to the row's support on the encoder (the reference bypass-codes
+them losslessly). The encoder's own reconstruction uses the clamped value,
+so encoder and decoder stay bit-consistent; at trained-model statistics
+the support (6.1 sigma, tables.py:97) makes clamping a ~2^-16-probability
+event per symbol. The escape bin's reserved tail mass (>=1/65536 per row)
+is the only rate overhead vs the host coder.
+
+Stream format (per image, little-endian):
+    [S x uint32 lane states][S x uint32 lane word counts][words uint16...]
+Lane l's words are stored in DECODE read order. Planes are chained through
+lane states: the encoder scans the decode sequence in reverse, so one lane
+set covers z + all y slices with no per-plane flush overhead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import CdfTable
+
+PRECISION = 16
+RANS_L = jnp.uint32(1 << 16)
+MASK16 = jnp.uint32(0xFFFF)
+LANES_PER_IMAGE = 128
+
+
+# --------------------------------------------------------------------------
+# table preparation (host, numpy) — once per codec.update()
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DeviceAnsTables:
+    """Fixed-shape device-side view of one or more CdfTables.
+
+    cdf_lo:  (R, Lmax) int32 — per-row CDF lower bounds (boundaries 0..L-2)
+    freq:    (R, Lmax) int32 — per-row bin frequencies
+    sym_lut: (R, 65536) int32 — peek value -> symbol bin (dense inverse CDF)
+    max_sym: (R,) int32 — last encodable bin (cdf_length - 3; escape excluded)
+    offset:  (R,) int32 — symbol value offset per row (value = bin + offset)
+    """
+
+    cdf_lo: jax.Array
+    freq: jax.Array
+    sym_lut: jax.Array
+    max_sym: jax.Array
+    offset: jax.Array
+
+    @property
+    def rows(self) -> int:
+        return self.cdf_lo.shape[0]
+
+
+jax.tree_util.register_pytree_node(
+    DeviceAnsTables,
+    lambda t: ((t.cdf_lo, t.freq, t.sym_lut, t.max_sym, t.offset), None),
+    lambda aux, ch: DeviceAnsTables(*ch),
+)
+
+
+def build_device_tables(*tables: CdfTable) -> Tuple[DeviceAnsTables, np.ndarray]:
+    """Stack CdfTables row-wise into fixed-shape device arrays.
+
+    Returns (device_tables, row_base) where row_base[k] is the first row
+    of tables[k] in the combined namespace (e.g. GC rows first, EB rows
+    at row_base[1] + channel).
+    """
+    rows = sum(t.ncdfs for t in tables)
+    lmax = max(t.max_len for t in tables) - 1  # bins = boundaries - 1
+    cdf_lo = np.zeros((rows, lmax), np.int32)
+    freq = np.zeros((rows, lmax), np.int32)
+    lut = np.zeros((rows, 1 << PRECISION), np.int32)
+    max_sym = np.zeros(rows, np.int32)
+    offset = np.zeros(rows, np.int32)
+
+    row_base = np.zeros(len(tables), np.int32)
+    r = 0
+    for k, t in enumerate(tables):
+        row_base[k] = r
+        for i in range(t.ncdfs):
+            L = int(t.cdf_length[i])  # boundary count = pmf_len + 2
+            bounds = t.cdf[i, :L]  # [0, ..., 65536]
+            f = np.diff(bounds)  # (L-1,) bin freqs, all >= 1
+            nb = L - 1
+            cdf_lo[r, :nb] = bounds[:-1]
+            freq[r, :nb] = f
+            # dense inverse CDF: peek in [bounds[s], bounds[s+1]) -> s
+            lut[r] = np.repeat(np.arange(nb, dtype=np.int32), f)
+            max_sym[r] = nb - 2  # exclude the escape bin
+            offset[r] = int(t.offset[i])
+            r += 1
+
+    dev = DeviceAnsTables(
+        cdf_lo=jnp.asarray(cdf_lo),
+        freq=jnp.asarray(freq),
+        sym_lut=jnp.asarray(lut),
+        max_sym=jnp.asarray(max_sym),
+        offset=jnp.asarray(offset),
+    )
+    return dev, row_base
+
+
+# --------------------------------------------------------------------------
+# lane layout
+# --------------------------------------------------------------------------
+
+
+def plane_to_lanes(plane: jax.Array, lanes: int) -> jax.Array:
+    """(B, n) -> (B, lanes, T) lane-blocked layout, padded at the end.
+
+    Padding positions are appended per-lane at the tail of the LAST lane
+    block; callers pad the flat (symbols, indexes) arrays themselves so
+    the pad symbols are valid (we pad with index row 0 / bin 0).
+    """
+    b, n = plane.shape
+    t = -(-n // lanes)
+    pad = lanes * t - n
+    if pad:
+        plane = jnp.pad(plane, ((0, 0), (0, pad)))
+    return plane.reshape(b, lanes, t)
+
+
+def lanes_to_plane(lanes_arr: jax.Array, n: int) -> jax.Array:
+    """(B, lanes, T) -> (B, n), dropping tail padding."""
+    b = lanes_arr.shape[0]
+    return lanes_arr.reshape(b, -1)[:, :n]
+
+
+# --------------------------------------------------------------------------
+# encode
+# --------------------------------------------------------------------------
+
+
+def ans_encode_planes(
+    syms: jax.Array,  # (B, L, T) int32 — symbol BINS, decode order on T
+    idxs: jax.Array,  # (B, L, T) int32 — combined-namespace row ids
+    tables: DeviceAnsTables,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Encode every lane's symbol sequence (one reversed scan).
+
+    Returns (states (B,L) uint32, flags (B,L,T) bool, words (B,L,T) int32):
+    flags[b,l,t] marks that decoding symbol t of lane (b,l) consumes
+    words[b,l,t]. Word storage is already in decode read order.
+    """
+    b, l, t = syms.shape
+    syms_t = jnp.moveaxis(syms, -1, 0)  # (T, B, L)
+    idxs_t = jnp.moveaxis(idxs, -1, 0)
+
+    cdf_lo, freq = tables.cdf_lo, tables.freq
+    lmax = cdf_lo.shape[1]
+
+    def step(states, xs):
+        s, r = xs
+        flat = r * lmax + s
+        f = freq.reshape(-1)[flat].astype(jnp.uint32)
+        c = cdf_lo.reshape(-1)[flat].astype(jnp.uint32)
+        need = states >= (f << 16)
+        word = (states & MASK16).astype(jnp.int32)
+        x = jnp.where(need, states >> 16, states)
+        x = ((x // f) << PRECISION) + (x % f) + c
+        return x, (need, word)
+
+    init = jnp.full((b, l), RANS_L, jnp.uint32)
+    states, (flags_t, words_t) = jax.lax.scan(
+        step, init, (syms_t, idxs_t), reverse=True
+    )
+    return states, jnp.moveaxis(flags_t, 0, -1), jnp.moveaxis(words_t, 0, -1)
+
+
+def compact_words(
+    flags: jax.Array, words: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Scatter emitted words into a flat (B*L*T,) buffer, lane-contiguous.
+
+    Returns (flat int32 (B*L*T,), counts (B, L) int32). Lane (b,l)'s words
+    occupy flat[base(b,l) : base(b,l)+counts(b,l)] in decode read order,
+    where base = exclusive-cumsum of counts in (b, l) raster order.
+    """
+    b, l, t = flags.shape
+    fl = flags.reshape(b * l, t)
+    wd = words.reshape(b * l, t)
+    counts = jnp.sum(fl.astype(jnp.int32), axis=1)
+    base = jnp.cumsum(counts) - counts  # exclusive
+    pos_in_lane = jnp.cumsum(fl.astype(jnp.int32), axis=1) - 1
+    dest = base[:, None] + pos_in_lane  # (B*L, T)
+    dest = jnp.where(fl, dest, b * l * t)  # out-of-bounds drops (XLA scatter)
+    flat = jnp.zeros(b * l * t, jnp.int32).at[dest.reshape(-1)].set(
+        wd.reshape(-1), mode="drop"
+    )
+    return flat, counts.reshape(b, l)
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class AnsDecodeCarry:
+    """Per-lane decoder state threaded across plane scans (a pytree)."""
+
+    states: jax.Array  # (B, L) uint32
+    ptrs: jax.Array  # (B, L) int32 — next word offset within the lane
+    bases: jax.Array  # (B, L) int32 — lane start in the flat word buffer
+
+    def tree_flatten(self):
+        return (self.states, self.ptrs, self.bases), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    AnsDecodeCarry,
+    lambda c: c.tree_flatten(),
+    AnsDecodeCarry.tree_unflatten,
+)
+
+
+def ans_decode_init(
+    states: jax.Array, counts: jax.Array
+) -> AnsDecodeCarry:
+    """Build the decode carry from header arrays ((B,L) each)."""
+    b, l = counts.shape
+    flatc = counts.reshape(-1)
+    base = (jnp.cumsum(flatc) - flatc).reshape(b, l)
+    return AnsDecodeCarry(
+        states=states.astype(jnp.uint32),
+        ptrs=jnp.zeros((b, l), jnp.int32),
+        bases=base,
+    )
+
+
+def ans_decode_plane(
+    carry: AnsDecodeCarry,
+    idxs: jax.Array,  # (B, L, T) int32 — row ids, decode order
+    flat_words: jax.Array,  # (N,) int32 — uint16 words
+    tables: DeviceAnsTables,
+) -> Tuple[AnsDecodeCarry, jax.Array]:
+    """Decode one plane; returns (carry, symbol bins (B,L,T) int32)."""
+    idxs_t = jnp.moveaxis(idxs, -1, 0)  # (T, B, L)
+    cdf_lo, freq, lut = tables.cdf_lo, tables.freq, tables.sym_lut
+    lmax = cdf_lo.shape[1]
+    nwords = flat_words.shape[0]
+
+    def step(c, r):
+        states, ptrs = c
+        peek = (states & MASK16).astype(jnp.int32)
+        s = lut.reshape(-1)[r * (1 << PRECISION) + peek]
+        flat = r * lmax + s
+        f = freq.reshape(-1)[flat].astype(jnp.uint32)
+        lo = cdf_lo.reshape(-1)[flat].astype(jnp.uint32)
+        x = f * (states >> 16) + peek.astype(jnp.uint32) - lo
+        need = x < RANS_L
+        widx = jnp.clip(carry.bases + ptrs, 0, nwords - 1)
+        w = flat_words[widx].astype(jnp.uint32)
+        x = jnp.where(need, (x << 16) | (w & MASK16), x)
+        ptrs = ptrs + need.astype(jnp.int32)
+        return (x, ptrs), s
+
+    (states, ptrs), syms_t = jax.lax.scan(
+        step, (carry.states, carry.ptrs), idxs_t
+    )
+    new_carry = AnsDecodeCarry(states=states, ptrs=ptrs, bases=carry.bases)
+    return new_carry, jnp.moveaxis(syms_t, 0, -1)
+
+
+# --------------------------------------------------------------------------
+# symbol <-> bin mapping
+# --------------------------------------------------------------------------
+
+
+def values_to_bins(
+    values: jax.Array, rows: jax.Array, tables: DeviceAnsTables
+) -> jax.Array:
+    """Integer symbol values -> clamped per-row bins (encoder side)."""
+    off = tables.offset[rows]
+    hi = tables.max_sym[rows]
+    return jnp.clip(values - off, 0, hi)
+
+
+def bins_to_values(bins: jax.Array, rows: jax.Array, tables: DeviceAnsTables) -> jax.Array:
+    """Per-row bins -> integer symbol values (decoder side)."""
+    return bins + tables.offset[rows]

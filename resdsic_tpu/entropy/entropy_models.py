@@ -229,12 +229,16 @@ def gc_build_indexes(
     """Map scales to scale-table bins.
 
     Equivalent to the reference 64-iteration threshold loop
-    (entropy_models.py:663-668): index = #{s in table[:-1] : s < scale},
-    computed with one searchsorted — O(log n) per element on device.
+    (entropy_models.py:663-668): index = #{s in table[:-1] : s < scale}.
+    Computed as a broadcast compare-and-sum over the 63 thresholds — on TPU
+    this is one fused VPU reduction, where jnp.searchsorted lowers to a
+    serial while-loop that measured >100x slower inside the fused encoder.
+    The two are exactly equal (tests/test_entropy_models.py pins it).
     """
     scales = lower_bound(
         scales.astype(jnp.float32), jnp.float32(scale_bound)
     )
-    return jnp.searchsorted(
-        scale_table[:-1], scales, side="left"
-    ).astype(jnp.int32)
+    thresholds = scale_table[:-1].astype(jnp.float32)
+    return jnp.sum(
+        (thresholds < scales[..., None]).astype(jnp.int32), axis=-1
+    )

@@ -82,6 +82,19 @@ class WACNNCodec:
         )
         self._synth_fn = jax.jit(functools.partial(model.apply, method="synthesize"))
 
+        # fully-fused on-device-coded paths (entropy coding inside XLA):
+        # ONE dispatch per direction; only compressed words cross the link
+        self.coded_lanes = 128
+        self._encode_coded_fn = jax.jit(
+            functools.partial(model.apply, method="encode_coded"),
+            static_argnames=("lanes",),
+        )
+        self._decode_coded_fn = jax.jit(
+            functools.partial(model.apply, method="decode_coded"),
+            static_argnames=("z_shape", "lanes"),
+        )
+        self._prefix_fns: Dict[int, Any] = {}
+
     @staticmethod
     def _warn_saturation(out: Dict[str, Any]) -> None:
         """Surface int8 symbol-clamp saturation (VERDICT: the reference
@@ -118,6 +131,11 @@ class WACNNCodec:
         self.eb_table = build_eb_table(eb_params)
         self.gc_table = build_gc_table(self.scale_table)
         self._medians = eb_medians(eb_params)
+        # device-side view of the SAME integer tables for the on-device coder
+        from ..coding.device_ans import build_device_tables
+
+        assert self.gc_table.ncdfs == 64, "encode_coded assumes 64 GC rows"
+        self.dev_tables, _ = build_device_tables(self.gc_table, self.eb_table)
         return True
 
     def _check_updated(self):
@@ -157,6 +175,108 @@ class WACNNCodec:
         if return_debug:
             result["y_hat"] = out["y_hat"]
         return result
+
+    # -- fully-fused on-device-coded paths --
+    #
+    # The host-coder paths above move ~2.4 MB of symbols+indexes per
+    # 768x512 image across the link and pay one host<->device round trip
+    # per decoded slice. These paths run the interleaved rANS coder INSIDE
+    # the jitted program (coding/device_ans.py): compress is one dispatch
+    # returning actual compressed words; decompress is one dispatch
+    # consuming them. Replaces the reference's host decode loop
+    # (cnn.py:260-342) with a TPU-resident equivalent.
+
+    def _words_prefix(self, words: jax.Array, bucket: int) -> jax.Array:
+        """Fetchable prefix of the flat word buffer (jit per bucket size)."""
+        fn = self._prefix_fns.get(bucket)
+        if fn is None:
+            fn = jax.jit(lambda w: w[:bucket])
+            self._prefix_fns[bucket] = fn
+        return fn(words)
+
+    @staticmethod
+    def _bucket(n: int, lo: int = 4096) -> int:
+        return max(lo, 1 << (max(n, 1) - 1).bit_length())
+
+    def compress_coded(self, x: jax.Array, return_debug: bool = False) -> Dict[str, Any]:
+        """One-dispatch encoder with on-device entropy coding.
+
+        Container (per image): [lanes x u32 states][lanes x u32 counts]
+        [u16 words...]; all little-endian. Not CompressAI-format — the
+        interleaved-lane stream is this framework's own device format
+        (the host-coder compress() keeps reference compatibility).
+        """
+        self._check_updated()
+        L = self.coded_lanes
+        out = self._encode_coded_fn(self.params, x, self.dev_tables, lanes=L)
+        for k in ("counts", "states"):
+            out[k].copy_to_host_async()
+        self._warn_saturation(out)
+        counts = np.asarray(out["counts"]).astype(np.uint32)
+        states = np.asarray(out["states"]).astype(np.uint32)
+        total = int(counts.sum())
+        bucket = min(self._bucket(total), out["words"].shape[0])
+        words = np.asarray(self._words_prefix(out["words"], bucket))[:total]
+
+        per_img = counts.sum(axis=1).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(per_img)])
+        strings = []
+        for i in range(counts.shape[0]):
+            strings.append(
+                states[i].astype("<u4").tobytes()
+                + counts[i].astype("<u4").tobytes()
+                + words[offs[i] : offs[i + 1]].astype("<u2").tobytes()
+            )
+        zh, zw = out["y_hat"].shape[1] // 4, out["y_hat"].shape[2] // 4
+        result: Dict[str, Any] = {
+            "strings": [strings],
+            "shape": (zh, zw),
+            "format": "device-ans",
+        }
+        if return_debug:
+            result["y_hat"] = out["y_hat"]
+        return result
+
+    def decompress_coded(self, strings, shape) -> Dict[str, Any]:
+        """One-dispatch decoder: device rANS + slice loop + synthesis."""
+        self._check_updated()
+        L = self.coded_lanes
+        blobs = strings[0]
+        b = len(blobs)
+        states = np.zeros((b, L), np.uint32)
+        counts = np.zeros((b, L), np.int32)
+        words_parts = []
+        for i, s in enumerate(blobs):
+            states[i] = np.frombuffer(s, "<u4", L)
+            counts[i] = np.frombuffer(s, "<u4", L, offset=4 * L)
+            words_parts.append(np.frombuffer(s, "<u2", offset=8 * L))
+        flat = (
+            np.concatenate(words_parts)
+            if words_parts
+            else np.zeros(0, np.uint16)
+        )
+        padded = np.zeros(self._bucket(len(flat)), np.uint16)
+        padded[: len(flat)] = flat
+
+        c = getattr(self.model, "hyper_ch", None) or self.model.N
+        x_hat, y_hat = self._decode_coded_fn(
+            self.params,
+            jnp.asarray(padded),
+            jnp.asarray(counts),
+            jnp.asarray(states),
+            self.dev_tables,
+            z_shape=(b, shape[0], shape[1], c),
+            lanes=L,
+        )
+        return {"x_hat": x_hat, "y_hat": y_hat}
+
+    def selftest_coded(self, x: jax.Array) -> bool:
+        """Encoder/decoder program bit-identity check for the coded path
+        (the determinism contract: both programs recompute mu/scale/rows
+        from z_hat; see wacnn.py decode_coded docstring)."""
+        out = self.compress_coded(x, return_debug=True)
+        rec = self.decompress_coded(out["strings"], out["shape"])
+        return bool(jnp.all(out["y_hat"] == rec["y_hat"]))
 
     def compress_stepped(
         self, x: jax.Array, return_debug: bool = False

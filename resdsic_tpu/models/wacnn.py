@@ -303,6 +303,154 @@ class WACNN(nn.Module):
             "n_saturated": n_saturated,
         }
 
+    # ---------------- fully-fused on-device-coded programs ----------------
+    #
+    # These push the entropy coder itself into the XLA program
+    # (coding/device_ans.py): the bitstream is produced/consumed on device,
+    # so compress is ONE dispatch emitting actual compressed words and
+    # decompress is ONE dispatch consuming them — the channel-autoregressive
+    # slice loop never leaves the chip. Replaces the reference's host
+    # decode loop (cnn.py:260-342) with a TPU-resident equivalent.
+
+    def encode_coded(self, x: jax.Array, tables, lanes: int = 128):
+        """Full encoder + on-device rANS. Returns flat words + header.
+
+        Decode plane order is [z, y_slice_0, ..., y_slice_{ns-1}]; the
+        encoder scans that sequence reversed so one lane set chains all
+        planes (no per-plane flush overhead).
+        """
+        from ..coding.device_ans import (
+            ans_encode_planes,
+            bins_to_values,
+            compact_words,
+            plane_to_lanes,
+            values_to_bins,
+        )
+
+        y = self._seq(self.g_a, x)
+        z = self._seq(self.h_a, y)
+        medians = self.entropy_bottleneck.medians()
+        z_sym = quantize_symbols(z, jnp.broadcast_to(medians, z.shape))
+
+        b = x.shape[0]
+        eb_base = jnp.int32(64)  # GC rows [0,64), EB rows at 64+channel
+        z_rows = eb_base + jnp.broadcast_to(
+            jnp.arange(z.shape[-1], dtype=jnp.int32), z_sym.shape
+        )
+        z_bins = values_to_bins(z_sym, z_rows, tables)
+        z_vals = bins_to_values(z_bins, z_rows, tables)
+        z_hat = z_vals.astype(jnp.float32) + medians
+
+        latent_scales = self._seq(self.h_scale_s, z_hat)
+        latent_means = self._seq(self.h_mean_s, z_hat)
+
+        table = self._scale_table()
+        sc = self.slice_ch
+        y_hat_slices, bin_planes, row_planes = [], [], []
+        n_saturated = jnp.zeros((), jnp.int32)
+        for i in range(self.num_slices):
+            y_slice = y[..., i * sc : (i + 1) * sc]
+            support = self._support(y_hat_slices)
+            mu, scale, mean_support = self._slice_mu_scale(
+                i, latent_means, latent_scales, support
+            )
+            rows = gc_build_indexes(scale, table)
+            raw = quantize_symbols(y_slice, mu)
+            bins = values_to_bins(raw, rows, tables)
+            vals = bins_to_values(bins, rows, tables)
+            n_saturated = n_saturated + jnp.sum((raw != vals).astype(jnp.int32))
+            bin_planes.append(bins.reshape(b, -1))
+            row_planes.append(rows.reshape(b, -1))
+            y_hat_slice = vals.astype(jnp.float32) + mu
+            y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        # decode-order sequence: z first, then slices 0..ns-1
+        bins_seq = jnp.concatenate(
+            [plane_to_lanes(z_bins.reshape(b, -1), lanes)]
+            + [plane_to_lanes(p, lanes) for p in bin_planes],
+            axis=-1,
+        )
+        rows_seq = jnp.concatenate(
+            [plane_to_lanes(z_rows.reshape(b, -1), lanes)]
+            + [plane_to_lanes(p, lanes) for p in row_planes],
+            axis=-1,
+        )
+        states, flags, words = ans_encode_planes(bins_seq, rows_seq, tables)
+        flat, counts = compact_words(flags, words)
+        return {
+            "words": flat.astype(jnp.uint16),  # (B*lanes*T,), lane-contiguous
+            "counts": counts,  # (B, lanes) int32
+            "states": states,  # (B, lanes) uint32
+            "n_saturated": n_saturated,
+            "y_hat": jnp.concatenate(y_hat_slices, axis=-1),
+        }
+
+    def decode_coded(
+        self,
+        words: jax.Array,  # (N,) int32 flat uint16 words (padded ok)
+        counts: jax.Array,  # (B, lanes) int32
+        states: jax.Array,  # (B, lanes) uint32
+        tables,
+        z_shape: Tuple[int, int, int, int],
+        lanes: int = 128,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Single-dispatch full decode: device rANS + slice loop + g_s.
+
+        Determinism note: this program recomputes latent means/scales and
+        per-slice mu/scale/rows from z_hat — the same subgraphs the encoder
+        fused into encode_coded. Bit-identity of the two compilations is
+        asserted by WACNNCodec.selftest_coded (the same empirical contract
+        the stepped decode path relies on, codec.py determinism rule).
+        """
+        from ..coding.device_ans import (
+            ans_decode_init,
+            ans_decode_plane,
+            bins_to_values,
+            lanes_to_plane,
+            plane_to_lanes,
+        )
+
+        b, zh, zw, zc = z_shape
+        medians = self.entropy_bottleneck.medians()
+
+        carry = ans_decode_init(states, counts)
+
+        eb_base = jnp.int32(64)
+        z_rows = eb_base + jnp.broadcast_to(
+            jnp.arange(zc, dtype=jnp.int32), (b, zh, zw, zc)
+        )
+        z_rows_l = plane_to_lanes(z_rows.reshape(b, -1), lanes)
+        carry, z_bins_l = ans_decode_plane(carry, z_rows_l, words, tables)
+        z_bins = lanes_to_plane(z_bins_l, zh * zw * zc).reshape(b, zh, zw, zc)
+        z_vals = bins_to_values(z_bins, z_rows, tables)
+        z_hat = z_vals.astype(jnp.float32) + medians
+
+        latent_means = self._seq(self.h_mean_s, z_hat)
+        latent_scales = self._seq(self.h_scale_s, z_hat)
+
+        table = self._scale_table()
+        sc = self.slice_ch
+        yh, yw = zh * 4, zw * 4
+        n_y = yh * yw * sc
+        y_hat_slices = []
+        for i in range(self.num_slices):
+            support = self._support(y_hat_slices)
+            mu, scale, mean_support = self._slice_mu_scale(
+                i, latent_means, latent_scales, support
+            )
+            rows = gc_build_indexes(scale, table)
+            rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
+            carry, bins_l = ans_decode_plane(carry, rows_l, words, tables)
+            bins = lanes_to_plane(bins_l, n_y).reshape(b, yh, yw, sc)
+            vals = bins_to_values(bins, rows, tables)
+            y_hat_slice = vals.astype(jnp.float32) + mu
+            y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        return jnp.clip(self._synthesize_q(y_hat, 0), 0.0, 1.0), y_hat
+
     def decode_begin(self, z_hat: jax.Array):
         """Fused hyper-synthesis + slice-0 params (one dispatch)."""
         latent_means = self._seq(self.h_mean_s, z_hat)

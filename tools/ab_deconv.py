@@ -49,11 +49,14 @@ class DeconvDilated(nn.Module):
 
 
 def _looped(apply_fn, k):
+    # The reduced scalar must cover the FULL output: a partial slice lets
+    # XLA narrow the conv to just the sliced rows (observed: a 719 GF conv
+    # "running" in 0.6 ms), which silently invalidates the measurement.
     def looped(p, x):
         def body(i, carry):
             x_in, acc = carry
             out = apply_fn(p, x_in)
-            s = jnp.sum(out[:1, :1, :1]).astype(jnp.float32)
+            s = jnp.sum(out.astype(jnp.float32))
             x_next = (x_in.astype(jnp.float32) + 1e-20 * s).astype(x_in.dtype)
             return (x_next, acc + s)
 

@@ -37,7 +37,9 @@ def _looped_fn(module, k):
         def body(i, carry):
             x_in, acc = carry
             out = module.apply(p, x_in)
-            s = jnp.sum(out[:1, :1]).astype(jnp.float32)
+            # full-output reduction: a partial slice lets XLA narrow the op
+            # to the sliced rows and fabricate impossible timings
+            s = jnp.sum(out.astype(jnp.float32))
             x_next = x_in * (1.0 + 1e-12 * s).astype(x_in.dtype)
             return (x_next, acc + s)
 
