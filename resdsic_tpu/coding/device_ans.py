@@ -66,27 +66,30 @@ LANES_PER_IMAGE = 128
 class DeviceAnsTables:
     """Fixed-shape device-side view of one or more CdfTables.
 
-    cdf_lo:  (R, Lmax) int32 — per-row CDF lower bounds (boundaries 0..L-2)
-    freq:    (R, Lmax) int32 — per-row bin frequencies
+    packed:  (R, Lmax) int32 — bit pattern of (cdf_lo << 16 | freq) per
+             bin. One gather yields both coder operands (each scan step is
+             gather-latency bound, so fewer gathers is the lever). Stored
+             int32 and bitcast to uint32 AFTER the gather: unsigned-typed
+             gathers sent this TPU backend's compiler into a >10-minute
+             stall, int32 gathers compile in seconds.
     sym_lut: (R, 65536) int32 — peek value -> symbol bin (dense inverse CDF)
     max_sym: (R,) int32 — last encodable bin (cdf_length - 3; escape excluded)
     offset:  (R,) int32 — symbol value offset per row (value = bin + offset)
     """
 
-    cdf_lo: jax.Array
-    freq: jax.Array
+    packed: jax.Array
     sym_lut: jax.Array
     max_sym: jax.Array
     offset: jax.Array
 
     @property
     def rows(self) -> int:
-        return self.cdf_lo.shape[0]
+        return self.packed.shape[0]
 
 
 jax.tree_util.register_pytree_node(
     DeviceAnsTables,
-    lambda t: ((t.cdf_lo, t.freq, t.sym_lut, t.max_sym, t.offset), None),
+    lambda t: ((t.packed, t.sym_lut, t.max_sym, t.offset), None),
     lambda aux, ch: DeviceAnsTables(*ch),
 )
 
@@ -100,8 +103,7 @@ def build_device_tables(*tables: CdfTable) -> Tuple[DeviceAnsTables, np.ndarray]
     """
     rows = sum(t.ncdfs for t in tables)
     lmax = max(t.max_len for t in tables) - 1  # bins = boundaries - 1
-    cdf_lo = np.zeros((rows, lmax), np.int32)
-    freq = np.zeros((rows, lmax), np.int32)
+    packed = np.zeros((rows, lmax), np.uint32)
     lut = np.zeros((rows, 1 << PRECISION), np.int32)
     max_sym = np.zeros(rows, np.int32)
     offset = np.zeros(rows, np.int32)
@@ -115,8 +117,10 @@ def build_device_tables(*tables: CdfTable) -> Tuple[DeviceAnsTables, np.ndarray]
             bounds = t.cdf[i, :L]  # [0, ..., 65536]
             f = np.diff(bounds)  # (L-1,) bin freqs, all >= 1
             nb = L - 1
-            cdf_lo[r, :nb] = bounds[:-1]
-            freq[r, :nb] = f
+            # freq <= 0xffff (>=2 bins each >=1), cdf_lo <= 65536-freq <= 0xffff
+            packed[r, :nb] = (
+                bounds[:-1].astype(np.uint32) << 16
+            ) | f.astype(np.uint32)
             # dense inverse CDF: peek in [bounds[s], bounds[s+1]) -> s
             lut[r] = np.repeat(np.arange(nb, dtype=np.int32), f)
             max_sym[r] = nb - 2  # exclude the escape bin
@@ -124,8 +128,7 @@ def build_device_tables(*tables: CdfTable) -> Tuple[DeviceAnsTables, np.ndarray]
             r += 1
 
     dev = DeviceAnsTables(
-        cdf_lo=jnp.asarray(cdf_lo),
-        freq=jnp.asarray(freq),
+        packed=jnp.asarray(packed.view(np.int32)),
         sym_lut=jnp.asarray(lut),
         max_sym=jnp.asarray(max_sym),
         offset=jnp.asarray(offset),
@@ -179,14 +182,16 @@ def ans_encode_planes(
     syms_t = jnp.moveaxis(syms, -1, 0)  # (T, B, L)
     idxs_t = jnp.moveaxis(idxs, -1, 0)
 
-    cdf_lo, freq = tables.cdf_lo, tables.freq
-    lmax = cdf_lo.shape[1]
+    packed = tables.packed
+    lmax = packed.shape[1]
 
     def step(states, xs):
         s, r = xs
-        flat = r * lmax + s
-        f = freq.reshape(-1)[flat].astype(jnp.uint32)
-        c = cdf_lo.reshape(-1)[flat].astype(jnp.uint32)
+        p = jax.lax.bitcast_convert_type(
+            packed.reshape(-1)[r * lmax + s], jnp.uint32
+        )
+        f = p & MASK16
+        c = p >> 16
         need = states >= (f << 16)
         word = (states & MASK16).astype(jnp.int32)
         x = jnp.where(need, states >> 16, states)
@@ -208,6 +213,11 @@ def compact_words(
     Returns (flat int32 (B*L*T,), counts (B, L) int32). Lane (b,l)'s words
     occupy flat[base(b,l) : base(b,l)+counts(b,l)] in decode read order,
     where base = exclusive-cumsum of counts in (b, l) raster order.
+
+    NOTE: XLA lowers this scatter by visiting all B*L*T candidate indices
+    (~8M for a 768x512 batch-16) even though only ~1% carry a word — fine
+    on CPU/small shapes, but ~0.3 s/batch on TPU. The fused encoder uses
+    compact_words_dense below instead.
     """
     b, l, t = flags.shape
     fl = flags.reshape(b * l, t)
@@ -221,6 +231,41 @@ def compact_words(
         wd.reshape(-1), mode="drop"
     )
     return flat, counts.reshape(b, l)
+
+
+def compact_words_dense(
+    flags: jax.Array, words: jax.Array, cap: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-lane compaction: (B,L,T) sparse -> (B*L, cap) dense.
+
+    All-integer rank-select: the position of a lane's j-th word is
+    t_j = #{t : cumsum(flags)[t] <= j} (the cumsum is nondecreasing), a
+    fused compare-and-sum over T per output slot, followed by ONE batched
+    take_along_axis. No scatter (XLA visits every candidate index of a
+    scatter — ~0.3 s for the 8M-slot encode buffer), no one-hot matmuls
+    (tiny per-lane contractions batch pathologically on the MXU), and no
+    float paths that could round a word value.
+
+    Returns (dense (B*L, cap) int32, counts (B, L) int32). Slots beyond a
+    lane's count are zero. Caller must check counts.max() <= cap (the
+    encoder's host driver re-dispatches at a larger cap on overflow).
+    """
+    b, l, t = flags.shape
+    bl = b * l
+    fl = flags.reshape(bl, t).astype(jnp.int32)
+    wd = words.reshape(bl, t)
+    cum = jnp.cumsum(fl, axis=1)  # (BL, T) inclusive rank
+    counts = cum[:, -1]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    # t index of the (j+1)-th flag; == T (clamped) when j >= count
+    tidx = jnp.sum(
+        (cum[:, None, :] <= j[None, :, None]).astype(jnp.int32), axis=-1
+    )  # (BL, cap)
+    dense = jnp.take_along_axis(
+        wd, jnp.minimum(tidx, t - 1), axis=1, mode="clip"
+    )
+    dense = jnp.where(j[None, :] < counts[:, None], dense, 0)
+    return dense, counts.reshape(b, l)
 
 
 # --------------------------------------------------------------------------
@@ -273,17 +318,19 @@ def ans_decode_plane(
 ) -> Tuple[AnsDecodeCarry, jax.Array]:
     """Decode one plane; returns (carry, symbol bins (B,L,T) int32)."""
     idxs_t = jnp.moveaxis(idxs, -1, 0)  # (T, B, L)
-    cdf_lo, freq, lut = tables.cdf_lo, tables.freq, tables.sym_lut
-    lmax = cdf_lo.shape[1]
+    packed, lut = tables.packed, tables.sym_lut
+    lmax = packed.shape[1]
     nwords = flat_words.shape[0]
 
     def step(c, r):
         states, ptrs = c
         peek = (states & MASK16).astype(jnp.int32)
         s = lut.reshape(-1)[r * (1 << PRECISION) + peek]
-        flat = r * lmax + s
-        f = freq.reshape(-1)[flat].astype(jnp.uint32)
-        lo = cdf_lo.reshape(-1)[flat].astype(jnp.uint32)
+        p = jax.lax.bitcast_convert_type(
+            packed.reshape(-1)[r * lmax + s], jnp.uint32
+        )
+        f = p & MASK16
+        lo = p >> 16
         x = f * (states >> 16) + peek.astype(jnp.uint32) - lo
         need = x < RANS_L
         widx = jnp.clip(carry.bases + ptrs, 0, nwords - 1)

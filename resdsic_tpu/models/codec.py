@@ -87,7 +87,7 @@ class WACNNCodec:
         self.coded_lanes = 128
         self._encode_coded_fn = jax.jit(
             functools.partial(model.apply, method="encode_coded"),
-            static_argnames=("lanes",),
+            static_argnames=("lanes", "cap"),
         )
         self._decode_coded_fn = jax.jit(
             functools.partial(model.apply, method="decode_coded"),
@@ -186,14 +186,6 @@ class WACNNCodec:
     # consuming them. Replaces the reference's host decode loop
     # (cnn.py:260-342) with a TPU-resident equivalent.
 
-    def _words_prefix(self, words: jax.Array, bucket: int) -> jax.Array:
-        """Fetchable prefix of the flat word buffer (jit per bucket size)."""
-        fn = self._prefix_fns.get(bucket)
-        if fn is None:
-            fn = jax.jit(lambda w: w[:bucket])
-            self._prefix_fns[bucket] = fn
-        return fn(words)
-
     @staticmethod
     def _bucket(n: int, lo: int = 4096) -> int:
         return max(lo, 1 << (max(n, 1) - 1).bit_length())
@@ -209,23 +201,42 @@ class WACNNCodec:
         self._check_updated()
         L = self.coded_lanes
         out = self._encode_coded_fn(self.params, x, self.dev_tables, lanes=L)
-        for k in ("counts", "states"):
+        for k in ("counts", "states", "words"):
             out[k].copy_to_host_async()
         self._warn_saturation(out)
         counts = np.asarray(out["counts"]).astype(np.uint32)
         states = np.asarray(out["states"]).astype(np.uint32)
-        total = int(counts.sum())
-        bucket = min(self._bucket(total), out["words"].shape[0])
-        words = np.asarray(self._words_prefix(out["words"], bucket))[:total]
+        cap = out["words"].shape[1]
+        cmax = int(counts.max()) if counts.size else 0
+        if cmax > cap:
+            # rare: a lane overflowed the default word cap — re-dispatch at
+            # the next power of two (recompiles once per new cap)
+            import warnings
 
-        per_img = counts.sum(axis=1).astype(np.int64)
-        offs = np.concatenate([[0], np.cumsum(per_img)])
+            cap2 = 1 << (cmax - 1).bit_length()
+            warnings.warn(
+                f"encode_coded lane overflow ({cmax} > {cap}); "
+                f"re-dispatching with cap={cap2}",
+                RuntimeWarning,
+            )
+            out = self._encode_coded_fn(
+                self.params, x, self.dev_tables, lanes=L, cap=cap2
+            )
+            counts = np.asarray(out["counts"]).astype(np.uint32)
+            states = np.asarray(out["states"]).astype(np.uint32)
+        dense = np.asarray(out["words"])  # (B*L, cap) uint16
+
+        b = counts.shape[0]
         strings = []
-        for i in range(counts.shape[0]):
+        for i in range(b):
+            rows = dense[i * L : (i + 1) * L]
+            lane_words = [
+                rows[j, : counts[i, j]] for j in range(L)
+            ]
             strings.append(
                 states[i].astype("<u4").tobytes()
                 + counts[i].astype("<u4").tobytes()
-                + words[offs[i] : offs[i + 1]].astype("<u2").tobytes()
+                + np.concatenate(lane_words).astype("<u2").tobytes()
             )
         zh, zw = out["y_hat"].shape[1] // 4, out["y_hat"].shape[2] // 4
         result: Dict[str, Any] = {

@@ -30,12 +30,22 @@ class StreamingCodec:
         n_decode_workers: int = 3,
         quality=None,
         max_inflight: int = 3,
+        coded: bool = False,
     ):
         self.codec = codec
         self.n_enc = n_encode_workers
         self.n_dec = n_decode_workers
         self.quality = quality
         self.max_inflight = max_inflight
+        # coded=True routes through the on-device-coded single-dispatch
+        # paths (codec.compress_coded/decompress_coded) when the codec has
+        # them — the serving-optimal configuration on link-limited hosts
+        if coded and not hasattr(codec, "compress_coded"):
+            raise ValueError(f"{type(codec).__name__} has no coded path")
+        self._compress = codec.compress_coded if coded else codec.compress
+        self._decompress = (
+            codec.decompress_coded if coded else codec.decompress
+        )
 
     def _kwargs(self):
         if self.quality is None:
@@ -66,7 +76,7 @@ class StreamingCodec:
                 except queue.Empty:
                     return
                 try:
-                    out = self.codec.compress(batches[i], **self._kwargs())
+                    out = self._compress(batches[i], **self._kwargs())
                 except BaseException as e:  # surface to caller
                     errors.append(e)
                     return
@@ -90,7 +100,7 @@ class StreamingCodec:
                     continue  # drain without working; encoders stop on errors
                 i, out = item
                 try:
-                    rec = self.codec.decompress(
+                    rec = self._decompress(
                         out["strings"], out["shape"], **self._kwargs()
                     )
                     rec["x_hat"].block_until_ready()
@@ -123,4 +133,4 @@ class StreamingCodec:
     def encode_stream(self, batches: Iterable) -> Iterator[Dict[str, Any]]:
         """Compress-only streaming (ordered)."""
         for b in batches:
-            yield self.codec.compress(b, **self._kwargs())
+            yield self._compress(b, **self._kwargs())

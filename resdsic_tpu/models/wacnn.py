@@ -312,17 +312,22 @@ class WACNN(nn.Module):
     # slice loop never leaves the chip. Replaces the reference's host
     # decode loop (cnn.py:260-342) with a TPU-resident equivalent.
 
-    def encode_coded(self, x: jax.Array, tables, lanes: int = 128):
-        """Full encoder + on-device rANS. Returns flat words + header.
+    def encode_coded(
+        self, x: jax.Array, tables, lanes: int = 128, cap: int = 0
+    ):
+        """Full encoder + on-device rANS. Returns dense words + header.
 
         Decode plane order is [z, y_slice_0, ..., y_slice_{ns-1}]; the
         encoder scans that sequence reversed so one lane set chains all
-        planes (no per-plane flush overhead).
+        planes (no per-plane flush overhead). Words come back as a
+        (B*lanes, cap) dense per-lane matrix (compact_words_dense);
+        `cap` <= 0 means T/8 — the driver re-dispatches with a larger cap
+        if any lane overflows (counts are exact either way).
         """
         from ..coding.device_ans import (
             ans_encode_planes,
             bins_to_values,
-            compact_words,
+            compact_words_dense,
             plane_to_lanes,
             values_to_bins,
         )
@@ -377,9 +382,12 @@ class WACNN(nn.Module):
             axis=-1,
         )
         states, flags, words = ans_encode_planes(bins_seq, rows_seq, tables)
-        flat, counts = compact_words(flags, words)
+        t_total = bins_seq.shape[-1]
+        if cap <= 0:
+            cap = max(128, t_total // 8)
+        dense, counts = compact_words_dense(flags, words, cap=cap)
         return {
-            "words": flat.astype(jnp.uint16),  # (B*lanes*T,), lane-contiguous
+            "words": dense.astype(jnp.uint16),  # (B*lanes, cap) per-lane rows
             "counts": counts,  # (B, lanes) int32
             "states": states,  # (B, lanes) uint32
             "n_saturated": n_saturated,

@@ -18,6 +18,7 @@ from resdsic_tpu.coding.device_ans import (
     bins_to_values,
     build_device_tables,
     compact_words,
+    compact_words_dense,
     lanes_to_plane,
     plane_to_lanes,
     values_to_bins,
@@ -148,6 +149,31 @@ def test_values_bins_offsets():
     np.testing.assert_array_equal(
         np.asarray(back)[in_range], np.asarray(vals)[in_range]
     )
+
+
+def test_compact_dense_matches_scatter():
+    """The MXU one-hot compaction must agree with the scatter reference."""
+    rng = np.random.default_rng(5)
+    B, L, T = 2, 4, 300
+    flags = jnp.asarray(rng.random((B, L, T)) < 0.15)
+    words = jnp.asarray(
+        rng.integers(0, 1 << 16, (B, L, T)).astype(np.int32)
+    ) * flags.astype(jnp.int32)
+
+    flat, counts = compact_words(flags, words)
+    dense, counts2 = compact_words_dense(flags, words, cap=96)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts2))
+
+    cnp = np.asarray(counts).reshape(-1)
+    base = np.concatenate([[0], np.cumsum(cnp)])
+    d = np.asarray(dense)
+    for k in range(B * L):
+        np.testing.assert_array_equal(
+            d[k, : cnp[k]], np.asarray(flat)[base[k] : base[k] + cnp[k]]
+        )
+    # slots beyond the count are zero (host packer relies on slicing only)
+    for k in range(B * L):
+        assert np.all(d[k, cnp[k] :] == 0)
 
 
 def test_plane_lane_layout_roundtrip():
