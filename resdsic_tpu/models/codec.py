@@ -516,6 +516,14 @@ class ScalableCodec(WACNNCodec):
             functools.partial(model.apply, method="final_latent_device"),
             static_argnames=("q_is_zero",),
         )
+        self._encode_coded_fn = jax.jit(
+            functools.partial(model.apply, method="encode_coded_scalable"),
+            static_argnames=("q", "lanes", "cap"),
+        )
+        self._decode_coded_fn = jax.jit(
+            functools.partial(model.apply, method="decode_coded_scalable"),
+            static_argnames=("z_shape", "zp_shape", "q", "lanes"),
+        )
 
     def update(self, force: bool = False) -> bool:
         if self.eb_table is not None and not force:
@@ -526,7 +534,123 @@ class ScalableCodec(WACNNCodec):
         self.gc_table = build_gc_table(self.scale_table)
         self._medians = eb_medians(p["entropy_bottleneck"])
         self._medians_prog = eb_medians(p["entropy_bottleneck_prog"])
+        from ..coding.device_ans import build_device_tables
+
+        assert self.gc_table.ncdfs == 64, "coded paths assume 64 GC rows"
+        self.dev_tables, _ = build_device_tables(
+            self.gc_table, self.eb_table, self.eb_prog_table
+        )
         return True
+
+    # -- on-device-coded paths (scalable: one blob carries every plane) --
+
+    def compress_coded(
+        self, x: jax.Array, quality=0.0, return_debug: bool = False
+    ) -> Dict[str, Any]:
+        """One-dispatch scalable encoder with on-device entropy coding.
+
+        Single per-image blob (states+counts header, then words) covering
+        [z, z_prog?, y_i / y_prog_i ...] — the scalable host path's 4-part
+        stream collapses into one chained lane set. Not reference-format."""
+        self._check_updated()
+        L = self.coded_lanes
+        q = self._normalize_quality(quality)
+        out = self._encode_coded_fn(
+            self.params, x, self.dev_tables, q=q, lanes=L
+        )
+        for k in ("counts", "states", "words"):
+            out[k].copy_to_host_async()
+        self._warn_saturation(out)
+        counts = np.asarray(out["counts"]).astype(np.uint32)
+        states = np.asarray(out["states"]).astype(np.uint32)
+        cap = out["words"].shape[1]
+        cmax = int(counts.max()) if counts.size else 0
+        if cmax > cap:
+            import warnings
+
+            cap2 = 1 << (cmax - 1).bit_length()
+            warnings.warn(
+                f"encode_coded lane overflow ({cmax} > {cap}); "
+                f"re-dispatching with cap={cap2}",
+                RuntimeWarning,
+            )
+            out = self._encode_coded_fn(
+                self.params, x, self.dev_tables, q=q, lanes=L, cap=cap2
+            )
+            counts = np.asarray(out["counts"]).astype(np.uint32)
+            states = np.asarray(out["states"]).astype(np.uint32)
+        dense = np.asarray(out["words"])
+
+        b = counts.shape[0]
+        strings = []
+        for i in range(b):
+            rows = dense[i * L : (i + 1) * L]
+            lane_words = [rows[j, : counts[i, j]] for j in range(L)]
+            strings.append(
+                states[i].astype("<u4").tobytes()
+                + counts[i].astype("<u4").tobytes()
+                + np.concatenate(lane_words).astype("<u2").tobytes()
+            )
+        shape = [tuple(out["z_shape"].shape)]
+        if out.get("zp_shape") is not None:
+            shape.append(tuple(out["zp_shape"].shape))
+        result: Dict[str, Any] = {
+            "strings": [strings],
+            "shape": shape,
+            "format": "device-ans",
+        }
+        if return_debug:
+            result["y_hat"] = out["y_hat"]
+        return result
+
+    def decompress_coded(self, strings, shape, quality=0.0) -> Dict[str, Any]:
+        self._check_updated()
+        L = self.coded_lanes
+        q = self._normalize_quality(quality)
+        blobs = strings[0]
+        b = len(blobs)
+        states = np.zeros((b, L), np.uint32)
+        counts = np.zeros((b, L), np.int32)
+        words_parts = []
+        for i, s in enumerate(blobs):
+            states[i] = np.frombuffer(s, "<u4", L)
+            counts[i] = np.frombuffer(s, "<u4", L, offset=4 * L)
+            words_parts.append(np.frombuffer(s, "<u2", offset=8 * L))
+        flat = (
+            np.concatenate(words_parts)
+            if words_parts
+            else np.zeros(0, np.uint16)
+        )
+        padded = np.zeros(self._bucket(len(flat)), np.uint16)
+        padded[: len(flat)] = flat
+
+        c = getattr(self.model, "hyper_ch", None) or self.model.N
+        zh, zw = shape[0]
+        if q != 0:
+            cp = self.params["params"]["entropy_bottleneck_prog"][
+                "quantiles"
+            ].shape[0]
+            zph, zpw = shape[1]
+            zp_shape = (b, zph, zpw, cp)
+        else:
+            zp_shape = None
+        x_hat, y_hat = self._decode_coded_fn(
+            self.params,
+            jnp.asarray(padded),
+            jnp.asarray(counts),
+            jnp.asarray(states),
+            self.dev_tables,
+            z_shape=(b, zh, zw, c),
+            zp_shape=zp_shape,
+            q=q,
+            lanes=L,
+        )
+        return {"x_hat": x_hat, "y_hat": y_hat}
+
+    def selftest_coded(self, x: jax.Array, quality=0.0) -> bool:
+        out = self.compress_coded(x, quality=quality, return_debug=True)
+        rec = self.decompress_coded(out["strings"], out["shape"], quality=quality)
+        return bool(jnp.all(out["y_hat"] == rec["y_hat"]))
 
     def _normalize_quality(self, quality):
         return self.model.normalize_quality(quality)

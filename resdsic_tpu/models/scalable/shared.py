@@ -549,6 +549,255 @@ class ResWACNNSharedEntropy(WACNN):
             out["y_hat"] = jnp.concatenate(y_hat_slices, axis=-1)
         return out
 
+    # ------------- fully-fused on-device-coded programs -------------
+    # Scalable analogue of WACNN.encode_coded/decode_coded: the interleaved
+    # rANS coder (coding/device_ans.py) runs inside the program, one lane
+    # set chaining every plane. Decode plane order (and the encoder's
+    # reversed scan order) is:
+    #     q == 0:  [z, y_0, ..., y_{ns-1}]
+    #     q != 0:  [z, z_prog, y_0, y_prog_0, ..., y_{ns-1}, y_prog_{ns-1}]
+    # Row namespace: GC rows [0,64), base-EB rows 64+c, prog-EB rows
+    # 64 + C_base + c (build_device_tables(gc, eb, eb_prog)).
+
+    def encode_coded_scalable(
+        self, x: jax.Array, tables, q, lanes: int = 128, cap: int = 0
+    ):
+        from ...coding.device_ans import (
+            ans_encode_planes,
+            bins_to_values,
+            compact_words_dense,
+            plane_to_lanes,
+            values_to_bins,
+        )
+
+        b = x.shape[0]
+        with_prog = q != 0
+        table = self._scale_table()
+        sc = self.slice_ch
+
+        y_base = self.split_ga(x)
+        y = self.split_ga(y_base, begin=False)
+        z = self._seq(self.h_a, y)
+        medians = self.entropy_bottleneck.medians()
+        z_sym = quantize_symbols(z, jnp.broadcast_to(medians, z.shape))
+        eb_base = jnp.int32(64)
+        z_rows = eb_base + jnp.broadcast_to(
+            jnp.arange(z.shape[-1], dtype=jnp.int32), z_sym.shape
+        )
+        z_bins = values_to_bins(z_sym, z_rows, tables)
+        z_hat = bins_to_values(z_bins, z_rows, tables).astype(jnp.float32) + medians
+        latent_scales = self._seq(self.h_scale_s, z_hat)
+        latent_means = self._seq(self.h_mean_s, z_hat)
+
+        bin_planes = [z_bins.reshape(b, -1)]
+        row_planes = [z_rows.reshape(b, -1)]
+        n_saturated = jnp.zeros((), jnp.int32)
+
+        if with_prog:
+            y_progressive = self._seq(
+                self.g_a_progressive, self.concatenate(y_base, x)
+            )
+            z_prog = self._h_a_prog(y_progressive)
+            medians_p = self.entropy_bottleneck_prog.medians()
+            zp_sym = quantize_symbols(
+                z_prog, jnp.broadcast_to(medians_p, z_prog.shape)
+            )
+            ebp_base = jnp.int32(64 + z.shape[-1])
+            zp_rows = ebp_base + jnp.broadcast_to(
+                jnp.arange(z_prog.shape[-1], dtype=jnp.int32), zp_sym.shape
+            )
+            zp_bins = values_to_bins(zp_sym, zp_rows, tables)
+            z_hat_prog = (
+                bins_to_values(zp_bins, zp_rows, tables).astype(jnp.float32)
+                + medians_p
+            )
+            means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
+            bin_planes.append(zp_bins.reshape(b, -1))
+            row_planes.append(zp_rows.reshape(b, -1))
+            mask = (
+                jnp.round(
+                    self.masking(latent_scales, scale_prog=scales_prog, pr=q)
+                )
+                if self.uses_coding_mask
+                else None
+            )
+
+        y_hat_slices, yp_hat_slices = [], []
+        for i in range(self.num_slices):
+            y_slice = y[..., i * sc : (i + 1) * sc]
+            support = self._support(y_hat_slices)
+            mu, scale, mean_support = self._slice_mu_scale(
+                i, latent_means, latent_scales, support
+            )
+            rows = gc_build_indexes(scale, table)
+            raw = quantize_symbols(y_slice, mu)
+            bins = values_to_bins(raw, rows, tables)
+            vals = bins_to_values(bins, rows, tables)
+            n_saturated = n_saturated + jnp.sum((raw != vals).astype(jnp.int32))
+            bin_planes.append(bins.reshape(b, -1))
+            row_planes.append(rows.reshape(b, -1))
+            y_hat_slice = vals.astype(jnp.float32) + mu
+            y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+            if with_prog:
+                yp_slice = y_progressive[..., i * sc : (i + 1) * sc]
+                support_p = self._support(yp_hat_slices)
+                mu_p, scale_p, mean_support_p = self._slice_mu_scale_prog(
+                    i, means_prog, scales_prog, support_p
+                )
+                if mask is not None:
+                    block_mask = mask[..., i * sc : (i + 1) * sc]
+                    rows_p = gc_build_indexes(scale_p * block_mask, table)
+                    raw_p = quantize_symbols((yp_slice - mu_p) * block_mask)
+                else:
+                    rows_p = gc_build_indexes(scale_p, table)
+                    raw_p = quantize_symbols(yp_slice, mu_p)
+                bins_p = values_to_bins(raw_p, rows_p, tables)
+                vals_p = bins_to_values(bins_p, rows_p, tables)
+                n_saturated = n_saturated + jnp.sum(
+                    (raw_p != vals_p).astype(jnp.int32)
+                )
+                bin_planes.append(bins_p.reshape(b, -1))
+                row_planes.append(rows_p.reshape(b, -1))
+                yp_hat = vals_p.astype(jnp.float32) + mu_p
+                if self.lrp_prog:
+                    yp_hat = yp_hat + self._lrp_prog(i, mean_support_p, yp_hat)
+                yp_hat_slices.append(yp_hat)
+
+        bins_seq = jnp.concatenate(
+            [plane_to_lanes(p, lanes) for p in bin_planes], axis=-1
+        )
+        rows_seq = jnp.concatenate(
+            [plane_to_lanes(p, lanes) for p in row_planes], axis=-1
+        )
+        states, flags, words = ans_encode_planes(bins_seq, rows_seq, tables)
+        t_total = bins_seq.shape[-1]
+        if cap <= 0:
+            cap = max(128, t_total // 8)
+        dense, counts = compact_words_dense(flags, words, cap=cap)
+
+        if with_prog:
+            complete = [
+                self._merge(a, bb, i)
+                for i, (a, bb) in enumerate(zip(y_hat_slices, yp_hat_slices))
+            ]
+            y_hat = self._final_latent(complete, yp_hat_slices, q)
+        else:
+            y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        return {
+            "words": dense.astype(jnp.uint16),
+            "counts": counts,
+            "states": states,
+            "n_saturated": n_saturated,
+            "y_hat": y_hat,
+            "z_shape": jnp.zeros(z.shape[1:3], jnp.int8),  # shape carrier
+            "zp_shape": (
+                jnp.zeros(z_prog.shape[1:3], jnp.int8) if with_prog else None
+            ),
+        }
+
+    def decode_coded_scalable(
+        self,
+        words: jax.Array,
+        counts: jax.Array,
+        states: jax.Array,
+        tables,
+        z_shape: Tuple[int, int, int, int],
+        zp_shape,
+        q,
+        lanes: int = 128,
+    ) -> Tuple[jax.Array, jax.Array]:
+        from ...coding.device_ans import (
+            ans_decode_init,
+            ans_decode_plane,
+            bins_to_values,
+            lanes_to_plane,
+            plane_to_lanes,
+        )
+
+        with_prog = q != 0
+        b, zh, zw, zc = z_shape
+        medians = self.entropy_bottleneck.medians()
+        carry = ans_decode_init(states, counts)
+
+        def dec_plane(carry, rows):
+            shp = rows.shape
+            rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
+            carry, bins_l = ans_decode_plane(carry, rows_l, words, tables)
+            bins = lanes_to_plane(bins_l, int(np.prod(shp[1:]))).reshape(shp)
+            return carry, bins_to_values(bins, rows, tables)
+
+        eb_base = jnp.int32(64)
+        z_rows = eb_base + jnp.broadcast_to(
+            jnp.arange(zc, dtype=jnp.int32), (b, zh, zw, zc)
+        )
+        carry, z_vals = dec_plane(carry, z_rows)
+        z_hat = z_vals.astype(jnp.float32) + medians
+        latent_means = self._seq(self.h_mean_s, z_hat)
+        latent_scales = self._seq(self.h_scale_s, z_hat)
+
+        if with_prog:
+            _, zph, zpw, zpc = zp_shape
+            medians_p = self.entropy_bottleneck_prog.medians()
+            ebp_base = jnp.int32(64 + zc)
+            zp_rows = ebp_base + jnp.broadcast_to(
+                jnp.arange(zpc, dtype=jnp.int32), (b, zph, zpw, zpc)
+            )
+            carry, zp_vals = dec_plane(carry, zp_rows)
+            z_hat_prog = zp_vals.astype(jnp.float32) + medians_p
+            means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
+            mask = (
+                jnp.round(
+                    self.masking(latent_scales, scale_prog=scales_prog, pr=q)
+                )
+                if self.uses_coding_mask
+                else None
+            )
+
+        table = self._scale_table()
+        sc = self.slice_ch
+        y_hat_slices, yp_hat_slices = [], []
+        for i in range(self.num_slices):
+            support = self._support(y_hat_slices)
+            mu, scale, mean_support = self._slice_mu_scale(
+                i, latent_means, latent_scales, support
+            )
+            rows = gc_build_indexes(scale, table)
+            carry, vals = dec_plane(carry, rows)
+            y_hat_slice = vals.astype(jnp.float32) + mu
+            y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+            if with_prog:
+                support_p = self._support(yp_hat_slices)
+                mu_p, scale_p, mean_support_p = self._slice_mu_scale_prog(
+                    i, means_prog, scales_prog, support_p
+                )
+                if mask is not None:
+                    block_mask = mask[..., i * sc : (i + 1) * sc]
+                    rows_p = gc_build_indexes(scale_p * block_mask, table)
+                else:
+                    rows_p = gc_build_indexes(scale_p, table)
+                carry, vals_p = dec_plane(carry, rows_p)
+                yp_hat = vals_p.astype(jnp.float32) + mu_p
+                if self.lrp_prog:
+                    yp_hat = yp_hat + self._lrp_prog(i, mean_support_p, yp_hat)
+                yp_hat_slices.append(yp_hat)
+
+        if with_prog:
+            complete = [
+                self._merge(a, bb, j)
+                for j, (a, bb) in enumerate(zip(y_hat_slices, yp_hat_slices))
+            ]
+            y_hat = self._final_latent(complete, yp_hat_slices, q)
+        else:
+            y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = jnp.clip(
+            self._synthesize_q(y_hat, 0 if q == 0 else 1), 0.0, 1.0
+        )
+        return x_hat, y_hat
+
     def decode_begin_scalable(self, z_hat, z_hat_prog, q):
         """Fused: both hyper syntheses + mask + slice-0 params (both
         branches)."""

@@ -61,6 +61,66 @@ def test_coded_rate_sane_vs_host(codec, x):
     assert coded_payload < host_bytes * 1.1 + 2 * codec.coded_lanes * n + 64
 
 
+@pytest.fixture(scope="module")
+def scal_codec():
+    from resdsic_tpu.models import ScalableCodec
+    from resdsic_tpu.models.scalable import ResWACNNIndependentEntropy
+
+    m = ResWACNNIndependentEntropy(
+        N=64, M=64, num_slices=4, max_support_slices=2,
+        lmbda_list=(0.0035, 0.065), mask_policy="two-levels",
+    )
+    p = jax.jit(m.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    c = ScalableCodec(m, p)
+    c.update()
+    return c
+
+
+@pytest.mark.parametrize("quality", [0, 1])
+def test_scalable_coded_roundtrip_bit_exact(scal_codec, x, quality):
+    assert scal_codec.selftest_coded(x, quality=quality)
+
+
+def test_scalable_coded_xhat_valid(scal_codec, x):
+    out = scal_codec.compress_coded(x, quality=1)
+    assert len(out["shape"]) == 2  # base z + prog z spatial shapes
+    rec = scal_codec.decompress_coded(out["strings"], out["shape"], quality=1)
+    xh = np.asarray(rec["x_hat"])
+    assert xh.shape == x.shape
+    assert np.all(np.isfinite(xh)) and xh.min() >= 0 and xh.max() <= 1
+
+
+def test_scalable_coded_q0_smaller_than_q1(scal_codec, x):
+    """q=0 omits the progressive planes entirely — fewer bytes."""
+    b0 = sum(len(s) for s in scal_codec.compress_coded(x, quality=0)["strings"][0])
+    b1 = sum(len(s) for s in scal_codec.compress_coded(x, quality=1)["strings"][0])
+    assert b0 < b1
+
+
+@pytest.mark.slow
+def test_tcm_coded_roundtrip_bit_exact():
+    """The coded programs are inherited by TCM through the same hooks as
+    the stepped codec — prove it end to end."""
+    from resdsic_tpu.models import TCM
+
+    m = TCM(
+        N=32, M=64, num_slices=2, max_support_slices=1,
+        config=(1, 1, 1, 1, 1, 1), head_dim=(8, 8, 8, 8, 8, 8),
+        window_size=4, hyper_ch=48,
+    )
+    p = jax.jit(m.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 128, 128, 3), jnp.float32),
+    )
+    c = WACNNCodec(m, p)
+    c.update()
+    xx = jax.random.uniform(jax.random.key(3), (1, 128, 128, 3), jnp.float32)
+    assert c.selftest_coded(xx)
+
+
 def test_coded_strings_are_per_image(codec, x):
     """Each image's blob is self-contained: decoding the same blobs in
     swapped order must swap the reconstructions exactly.
