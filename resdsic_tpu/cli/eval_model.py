@@ -59,9 +59,10 @@ def load_model_and_params(arch: str, checkpoint: str, args):
     return model, params
 
 
-def inference(codec, x, quality=None):
+def inference(codec, x, quality=None, coded=False):
     """Pad → compress → decompress → unpad with wall timing
-    (ref __main__.py:82-125)."""
+    (ref __main__.py:82-125). coded=True routes through the on-device
+    entropy-coded single-dispatch paths."""
     h, w = x.shape[1:3]
     pad, unpad = compute_padding(h, w, min_div=64)
     x_padded = jnp.asarray(
@@ -69,13 +70,15 @@ def inference(codec, x, quality=None):
     )
 
     kwargs = {} if quality is None else {"quality": quality}
+    compress = codec.compress_coded if coded else codec.compress
+    decompress = codec.decompress_coded if coded else codec.decompress
     start = time.time()
-    out_enc = codec.compress(x_padded, **kwargs)
+    out_enc = compress(x_padded, **kwargs)
     enc_time = time.time() - start
 
     start = time.time()
-    out_dec = codec.decompress(out_enc["strings"], out_enc["shape"], **kwargs)
-    jax.block_until_ready(out_dec["x_hat"])
+    out_dec = decompress(out_enc["strings"], out_enc["shape"], **kwargs)
+    np.asarray(out_dec["x_hat"])  # host fetch = real sync on every backend
     dec_time = time.time() - start
 
     x_hat = np.clip(unpad_image(np.asarray(out_dec["x_hat"]), unpad), 0, 1)
@@ -129,7 +132,10 @@ def inference_entropy_estimation(model, params, x, quality=None):
     }
 
 
-def eval_model(model, params, filepaths, entropy_estimation=False, quality=None):
+def eval_model(
+    model, params, filepaths, entropy_estimation=False, quality=None,
+    coded=False,
+):
     metrics = {}
     codec = None
     if not entropy_estimation:
@@ -142,7 +148,7 @@ def eval_model(model, params, filepaths, entropy_estimation=False, quality=None)
             rv = inference_entropy_estimation(model, params, x, quality)
         else:
             q = {} if not hasattr(model, "lmbda_list") else {"quality": quality or 0}
-            rv = inference(codec, x, **q)
+            rv = inference(codec, x, coded=coded, **q)
         for k, v in rv.items():
             metrics.setdefault(k, 0.0)
             metrics[k] += v
@@ -157,6 +163,9 @@ def main(argv=None):
     parser.add_argument("--entropy-estimation", action="store_true")
     parser.add_argument("--half", action="store_true",
                         help="bfloat16 compute (TPU half precision)")
+    parser.add_argument("--coded", action="store_true",
+                        help="serve through the on-device entropy-coded "
+                        "single-dispatch paths (device-ans format)")
     parser.add_argument("-q", "--quality", type=float, default=None)
     parser.add_argument("--lambda_list", nargs="+", type=float,
                         default=[0.0035, 0.065])
@@ -172,12 +181,16 @@ def main(argv=None):
     if args.half:
         model = model.replace(dtype=jnp.bfloat16)
     metrics = eval_model(
-        model, params, filepaths, args.entropy_estimation, args.quality
+        model, params, filepaths, args.entropy_estimation, args.quality,
+        coded=args.coded,
     )
+    coder_name = "device-ans" if args.coded else "ans"
     out = {
         "name": args.arch,
         "description": (
-            f"Inference ({'entropy estimation' if args.entropy_estimation else 'ans'})"
+            "Inference ("
+            + ("entropy estimation" if args.entropy_estimation else coder_name)
+            + ")"
         ),
         "results": metrics,
     }

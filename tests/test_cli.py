@@ -125,6 +125,30 @@ def test_eval_model_cli_real_coding(kodak_dir, capsys, monkeypatch):
 
 
 @pytest.mark.slow
+def test_eval_model_cli_device_coded(kodak_dir, capsys, monkeypatch):
+    """--coded serves through the on-device-ANS single-dispatch paths."""
+    from resdsic_tpu.cli import eval_model as em
+
+    def tiny_load(arch, checkpoint, args):
+        import jax, jax.numpy as jnp
+        from resdsic_tpu.models import WACNN
+
+        model = WACNN(N=32, M=64, num_slices=4, max_support_slices=2)
+        params = jax.jit(model.init)(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)},
+            jnp.zeros((1, 64, 64, 3)),
+        )
+        return model, params
+
+    monkeypatch.setattr(em, "load_model_and_params", tiny_load)
+    em.main(["-d", kodak_dir, "-a", "cnn", "--coded"])
+    out = json.loads(capsys.readouterr().out)
+    assert "device-ans" in out["description"]
+    r = out["results"]
+    assert r["bpp"] > 0 and r["psnr"] > 0
+
+
+@pytest.mark.slow
 def test_compress_with_ac_scalable(kodak_dir):
     """Reference-style real-codec eval over files at pr_list [0, 1]
     (4-part bitstream accounting, step.py:218-330 semantics)."""
