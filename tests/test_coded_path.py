@@ -101,6 +101,70 @@ def test_scalable_coded_q0_smaller_than_q1(scal_codec, x):
 
 
 @pytest.mark.slow
+def test_icd_coded_roundtrip_with_coding_mask():
+    """ScalableICD's coding mask participates in the coded path: masked
+    scales drive the row indexes and masked residuals are what's coded —
+    the decoder recomputes the identical mask on device."""
+    from resdsic_tpu.models import ScalableCodec, ScalableICD
+
+    m = ScalableICD(
+        N=64, M=64, num_slices=2, max_support_slices=1,
+        lmbda_list=(0.0035, 0.065), mask_policy="two-levels",
+    )
+    p = jax.jit(m.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    c = ScalableCodec(m, p)
+    c.update()
+    assert m.uses_coding_mask
+    xx = jax.random.uniform(jax.random.key(5), (2, 64, 64, 3), jnp.float32)
+    assert c.selftest_coded(xx, quality=1)
+
+
+def test_coded_encode_shards_over_mesh(codec):
+    """Multi-chip serving: the fused coded encoder jits over a data mesh
+    with the batch sharded across all 8 virtual devices and produces the
+    same header arrays as the single-device program (the rANS lanes are
+    per-image, so the scan is embarrassingly data-parallel)."""
+    import functools
+
+    from resdsic_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicate,
+    )
+
+    mesh = make_mesh(8)
+    x8 = jax.random.uniform(jax.random.key(7), (8, 64, 64, 3), jnp.float32)
+
+    ref = codec._encode_coded_fn(
+        codec.params, x8, codec.dev_tables, lanes=codec.coded_lanes
+    )
+
+    fn = jax.jit(
+        functools.partial(
+            codec.model.apply, method="encode_coded", lanes=codec.coded_lanes
+        ),
+        in_shardings=(replicate(mesh), batch_sharding(mesh), replicate(mesh)),
+    )
+    params_r = jax.device_put(codec.params, replicate(mesh))
+    tables_r = jax.device_put(codec.dev_tables, replicate(mesh))
+    x_sharded = jax.device_put(x8, batch_sharding(mesh))
+    out = fn(params_r, x_sharded, tables_r)
+
+    np.testing.assert_array_equal(
+        np.asarray(out["counts"]), np.asarray(ref["counts"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["states"]), np.asarray(ref["states"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["words"]), np.asarray(ref["words"])
+    )
+
+
+@pytest.mark.slow
 def test_tcm_coded_roundtrip_bit_exact():
     """The coded programs are inherited by TCM through the same hooks as
     the stepped codec — prove it end to end."""
