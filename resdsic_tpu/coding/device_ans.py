@@ -67,17 +67,24 @@ class DeviceAnsTables:
     """Fixed-shape device-side view of one or more CdfTables.
 
     packed:  (R, Lmax) int32 — bit pattern of (cdf_lo << 16 | freq) per
-             bin. One gather yields both coder operands (each scan step is
-             gather-latency bound, so fewer gathers is the lever). Stored
-             int32 and bitcast to uint32 AFTER the gather: unsigned-typed
-             gathers sent this TPU backend's compiler into a >10-minute
-             stall, int32 gathers compile in seconds.
+             bin. One gather yields both encoder operands (each scan step
+             is gather-latency bound, so fewer gathers is the lever).
+             Stored int32 and bitcast to uint32 AFTER the gather:
+             unsigned-typed gathers sent this TPU backend's compiler into
+             a >10-minute stall, int32 gathers compile in seconds.
+    dec_lut: (R, 65536) int32 — bit pattern of (freq << 16 | peek-cdf_lo)
+             per peek value. The decoder's state update x = f*(x>>16) +
+             (peek-lo) needs ONLY these two fields, so each decode scan
+             step costs a single table gather; the symbol identity is
+             recovered OUTSIDE the scan by one big sym_lut gather over
+             all peeks at once (off the sequential critical path).
     sym_lut: (R, 65536) int32 — peek value -> symbol bin (dense inverse CDF)
     max_sym: (R,) int32 — last encodable bin (cdf_length - 3; escape excluded)
     offset:  (R,) int32 — symbol value offset per row (value = bin + offset)
     """
 
     packed: jax.Array
+    dec_lut: jax.Array
     sym_lut: jax.Array
     max_sym: jax.Array
     offset: jax.Array
@@ -89,7 +96,7 @@ class DeviceAnsTables:
 
 jax.tree_util.register_pytree_node(
     DeviceAnsTables,
-    lambda t: ((t.packed, t.sym_lut, t.max_sym, t.offset), None),
+    lambda t: ((t.packed, t.dec_lut, t.sym_lut, t.max_sym, t.offset), None),
     lambda aux, ch: DeviceAnsTables(*ch),
 )
 
@@ -104,9 +111,11 @@ def build_device_tables(*tables: CdfTable) -> Tuple[DeviceAnsTables, np.ndarray]
     rows = sum(t.ncdfs for t in tables)
     lmax = max(t.max_len for t in tables) - 1  # bins = boundaries - 1
     packed = np.zeros((rows, lmax), np.uint32)
+    dlut = np.zeros((rows, 1 << PRECISION), np.uint32)
     lut = np.zeros((rows, 1 << PRECISION), np.int32)
     max_sym = np.zeros(rows, np.int32)
     offset = np.zeros(rows, np.int32)
+    peeks = np.arange(1 << PRECISION, dtype=np.uint32)
 
     row_base = np.zeros(len(tables), np.int32)
     r = 0
@@ -123,12 +132,16 @@ def build_device_tables(*tables: CdfTable) -> Tuple[DeviceAnsTables, np.ndarray]
             ) | f.astype(np.uint32)
             # dense inverse CDF: peek in [bounds[s], bounds[s+1]) -> s
             lut[r] = np.repeat(np.arange(nb, dtype=np.int32), f)
+            f_of_peek = np.repeat(f.astype(np.uint32), f)
+            lo_of_peek = np.repeat(bounds[:-1].astype(np.uint32), f)
+            dlut[r] = (f_of_peek << 16) | (peeks - lo_of_peek)
             max_sym[r] = nb - 2  # exclude the escape bin
             offset[r] = int(t.offset[i])
             r += 1
 
     dev = DeviceAnsTables(
         packed=jnp.asarray(packed.view(np.int32)),
+        dec_lut=jnp.asarray(dlut.view(np.int32)),
         sym_lut=jnp.asarray(lut),
         max_sym=jnp.asarray(max_sym),
         offset=jnp.asarray(offset),
@@ -316,32 +329,35 @@ def ans_decode_plane(
     flat_words: jax.Array,  # (N,) int32 — uint16 words
     tables: DeviceAnsTables,
 ) -> Tuple[AnsDecodeCarry, jax.Array]:
-    """Decode one plane; returns (carry, symbol bins (B,L,T) int32)."""
+    """Decode one plane; returns (carry, symbol bins (B,L,T) int32).
+
+    The sequential scan touches only dec_lut (one gather: freq + in-bin
+    offset drive the state update) plus the renorm word gather; symbol
+    bins are recovered afterwards with one parallel sym_lut gather over
+    every recorded peek, off the latency-bound critical path.
+    """
     idxs_t = jnp.moveaxis(idxs, -1, 0)  # (T, B, L)
-    packed, lut = tables.packed, tables.sym_lut
-    lmax = packed.shape[1]
+    dlut, lut = tables.dec_lut, tables.sym_lut
     nwords = flat_words.shape[0]
 
     def step(c, r):
         states, ptrs = c
         peek = (states & MASK16).astype(jnp.int32)
-        s = lut.reshape(-1)[r * (1 << PRECISION) + peek]
-        p = jax.lax.bitcast_convert_type(
-            packed.reshape(-1)[r * lmax + s], jnp.uint32
+        e = jax.lax.bitcast_convert_type(
+            dlut.reshape(-1)[r * (1 << PRECISION) + peek], jnp.uint32
         )
-        f = p & MASK16
-        lo = p >> 16
-        x = f * (states >> 16) + peek.astype(jnp.uint32) - lo
+        x = (e >> 16) * (states >> 16) + (e & MASK16)
         need = x < RANS_L
         widx = jnp.clip(carry.bases + ptrs, 0, nwords - 1)
         w = flat_words[widx].astype(jnp.uint32)
         x = jnp.where(need, (x << 16) | (w & MASK16), x)
         ptrs = ptrs + need.astype(jnp.int32)
-        return (x, ptrs), s
+        return (x, ptrs), peek
 
-    (states, ptrs), syms_t = jax.lax.scan(
+    (states, ptrs), peeks_t = jax.lax.scan(
         step, (carry.states, carry.ptrs), idxs_t
     )
+    syms_t = lut.reshape(-1)[idxs_t * (1 << PRECISION) + peeks_t]
     new_carry = AnsDecodeCarry(states=states, ptrs=ptrs, bases=carry.bases)
     return new_carry, jnp.moveaxis(syms_t, 0, -1)
 
