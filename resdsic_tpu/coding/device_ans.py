@@ -192,17 +192,18 @@ def ans_encode_planes(
     words[b,l,t]. Word storage is already in decode read order.
     """
     b, l, t = syms.shape
-    syms_t = jnp.moveaxis(syms, -1, 0)  # (T, B, L)
-    idxs_t = jnp.moveaxis(idxs, -1, 0)
-
     packed = tables.packed
     lmax = packed.shape[1]
 
-    def step(states, xs):
-        s, r = xs
-        p = jax.lax.bitcast_convert_type(
-            packed.reshape(-1)[r * lmax + s], jnp.uint32
-        )
+    # Pre-gather every symbol's (cdf_lo, freq) in ONE parallel gather:
+    # in-scan gathers are throughput-bound at ~13 ns/element on this
+    # backend and serialize with the state update; hoisted, the gather
+    # runs ~2x faster and the scan body is pure ALU (~1 us/step).
+    pre = packed.reshape(-1)[idxs * lmax + syms]  # (B, L, T) int32
+    pre_t = jnp.moveaxis(pre, -1, 0)  # (T, B, L)
+
+    def step(states, p_i32):
+        p = jax.lax.bitcast_convert_type(p_i32, jnp.uint32)
         f = p & MASK16
         c = p >> 16
         need = states >= (f << 16)
@@ -213,7 +214,7 @@ def ans_encode_planes(
 
     init = jnp.full((b, l), RANS_L, jnp.uint32)
     states, (flags_t, words_t) = jax.lax.scan(
-        step, init, (syms_t, idxs_t), reverse=True
+        step, init, pre_t, reverse=True
     )
     return states, jnp.moveaxis(flags_t, 0, -1), jnp.moveaxis(words_t, 0, -1)
 
@@ -292,10 +293,10 @@ class AnsDecodeCarry:
 
     states: jax.Array  # (B, L) uint32
     ptrs: jax.Array  # (B, L) int32 — next word offset within the lane
-    bases: jax.Array  # (B, L) int32 — lane start in the flat word buffer
+    dense: jax.Array  # (B, L, cap) int32 — per-lane words, decode order
 
     def tree_flatten(self):
-        return (self.states, self.ptrs, self.bases), None
+        return (self.states, self.ptrs, self.dense), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -310,35 +311,50 @@ jax.tree_util.register_pytree_node(
 
 
 def ans_decode_init(
-    states: jax.Array, counts: jax.Array
+    states: jax.Array,
+    counts: jax.Array,
+    flat_words: jax.Array,
+    cap: int,
 ) -> AnsDecodeCarry:
-    """Build the decode carry from header arrays ((B,L) each)."""
+    """Build the decode carry from the header arrays and the flat stream.
+
+    The flat word buffer is expanded ONCE into a dense (B, L, cap) per-lane
+    matrix with a single parallel gather; the scans then read words with an
+    exact integer one-hot select (pure VPU) instead of paying the ~13
+    ns/element in-scan gather path per renorm.
+    """
     b, l = counts.shape
     flatc = counts.reshape(-1)
-    base = (jnp.cumsum(flatc) - flatc).reshape(b, l)
+    base = jnp.cumsum(flatc) - flatc  # (B*L,) exclusive
+    nwords = flat_words.shape[0]
+    words_i32 = flat_words.astype(jnp.int32)
+    idx = base[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    dense = words_i32[jnp.clip(idx, 0, max(nwords - 1, 0))]
     return AnsDecodeCarry(
         states=states.astype(jnp.uint32),
         ptrs=jnp.zeros((b, l), jnp.int32),
-        bases=base,
+        dense=dense.reshape(b, l, cap),
     )
 
 
 def ans_decode_plane(
     carry: AnsDecodeCarry,
     idxs: jax.Array,  # (B, L, T) int32 — row ids, decode order
-    flat_words: jax.Array,  # (N,) int32 — uint16 words
     tables: DeviceAnsTables,
 ) -> Tuple[AnsDecodeCarry, jax.Array]:
     """Decode one plane; returns (carry, symbol bins (B,L,T) int32).
 
     The sequential scan touches only dec_lut (one gather: freq + in-bin
-    offset drive the state update) plus the renorm word gather; symbol
-    bins are recovered afterwards with one parallel sym_lut gather over
-    every recorded peek, off the latency-bound critical path.
+    offset drive the state update); renorm words come from the dense
+    per-lane matrix via an integer one-hot select, and symbol bins are
+    recovered afterwards with one parallel sym_lut gather over every
+    recorded peek — both off the gather-throughput-bound critical path.
     """
     idxs_t = jnp.moveaxis(idxs, -1, 0)  # (T, B, L)
     dlut, lut = tables.dec_lut, tables.sym_lut
-    nwords = flat_words.shape[0]
+    dense = carry.dense
+    cap = dense.shape[-1]
+    jcols = jnp.arange(cap, dtype=jnp.int32)
 
     def step(c, r):
         states, ptrs = c
@@ -348,8 +364,8 @@ def ans_decode_plane(
         )
         x = (e >> 16) * (states >> 16) + (e & MASK16)
         need = x < RANS_L
-        widx = jnp.clip(carry.bases + ptrs, 0, nwords - 1)
-        w = flat_words[widx].astype(jnp.uint32)
+        onehot = (jcols[None, None, :] == ptrs[..., None]).astype(jnp.int32)
+        w = jnp.sum(dense * onehot, axis=-1).astype(jnp.uint32)
         x = jnp.where(need, (x << 16) | (w & MASK16), x)
         ptrs = ptrs + need.astype(jnp.int32)
         return (x, ptrs), peek
@@ -358,7 +374,7 @@ def ans_decode_plane(
         step, (carry.states, carry.ptrs), idxs_t
     )
     syms_t = lut.reshape(-1)[idxs_t * (1 << PRECISION) + peeks_t]
-    new_carry = AnsDecodeCarry(states=states, ptrs=ptrs, bases=carry.bases)
+    new_carry = AnsDecodeCarry(states=states, ptrs=ptrs, dense=dense)
     return new_carry, jnp.moveaxis(syms_t, 0, -1)
 
 

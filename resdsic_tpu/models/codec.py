@@ -91,9 +91,8 @@ class WACNNCodec:
         )
         self._decode_coded_fn = jax.jit(
             functools.partial(model.apply, method="decode_coded"),
-            static_argnames=("z_shape", "lanes"),
+            static_argnames=("z_shape", "lanes", "cap"),
         )
-        self._prefix_fns: Dict[int, Any] = {}
 
     @staticmethod
     def _warn_saturation(out: Dict[str, Any]) -> None:
@@ -278,6 +277,7 @@ class WACNNCodec:
             self.dev_tables,
             z_shape=(b, shape[0], shape[1], c),
             lanes=L,
+            cap=self._bucket(int(counts.max()) if counts.size else 1, lo=32),
         )
         return {"x_hat": x_hat, "y_hat": y_hat}
 
@@ -522,7 +522,7 @@ class ScalableCodec(WACNNCodec):
         )
         self._decode_coded_fn = jax.jit(
             functools.partial(model.apply, method="decode_coded_scalable"),
-            static_argnames=("z_shape", "zp_shape", "q", "lanes"),
+            static_argnames=("z_shape", "zp_shape", "q", "lanes", "cap"),
         )
 
     def update(self, force: bool = False) -> bool:
@@ -644,6 +644,7 @@ class ScalableCodec(WACNNCodec):
             zp_shape=zp_shape,
             q=q,
             lanes=L,
+            cap=self._bucket(int(counts.max()) if counts.size else 1, lo=32),
         )
         return {"x_hat": x_hat, "y_hat": y_hat}
 

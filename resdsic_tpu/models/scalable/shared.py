@@ -707,6 +707,7 @@ class ResWACNNSharedEntropy(WACNN):
         zp_shape,
         q,
         lanes: int = 128,
+        cap: int = 128,  # static >= counts.max(); driver buckets it
     ) -> Tuple[jax.Array, jax.Array]:
         from ...coding.device_ans import (
             ans_decode_init,
@@ -719,12 +720,12 @@ class ResWACNNSharedEntropy(WACNN):
         with_prog = q != 0
         b, zh, zw, zc = z_shape
         medians = self.entropy_bottleneck.medians()
-        carry = ans_decode_init(states, counts)
+        carry = ans_decode_init(states, counts, words, cap)
 
         def dec_plane(carry, rows):
             shp = rows.shape
             rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
-            carry, bins_l = ans_decode_plane(carry, rows_l, words, tables)
+            carry, bins_l = ans_decode_plane(carry, rows_l, tables)
             bins = lanes_to_plane(bins_l, int(np.prod(shp[1:]))).reshape(shp)
             return carry, bins_to_values(bins, rows, tables)
 

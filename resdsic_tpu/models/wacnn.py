@@ -396,12 +396,13 @@ class WACNN(nn.Module):
 
     def decode_coded(
         self,
-        words: jax.Array,  # (N,) int32 flat uint16 words (padded ok)
+        words: jax.Array,  # (N,) flat uint16 words (padded ok)
         counts: jax.Array,  # (B, lanes) int32
         states: jax.Array,  # (B, lanes) uint32
         tables,
         z_shape: Tuple[int, int, int, int],
         lanes: int = 128,
+        cap: int = 128,  # static >= counts.max(); driver buckets it
     ) -> Tuple[jax.Array, jax.Array]:
         """Single-dispatch full decode: device rANS + slice loop + g_s.
 
@@ -422,14 +423,14 @@ class WACNN(nn.Module):
         b, zh, zw, zc = z_shape
         medians = self.entropy_bottleneck.medians()
 
-        carry = ans_decode_init(states, counts)
+        carry = ans_decode_init(states, counts, words, cap)
 
         eb_base = jnp.int32(64)
         z_rows = eb_base + jnp.broadcast_to(
             jnp.arange(zc, dtype=jnp.int32), (b, zh, zw, zc)
         )
         z_rows_l = plane_to_lanes(z_rows.reshape(b, -1), lanes)
-        carry, z_bins_l = ans_decode_plane(carry, z_rows_l, words, tables)
+        carry, z_bins_l = ans_decode_plane(carry, z_rows_l, tables)
         z_bins = lanes_to_plane(z_bins_l, zh * zw * zc).reshape(b, zh, zw, zc)
         z_vals = bins_to_values(z_bins, z_rows, tables)
         z_hat = z_vals.astype(jnp.float32) + medians
@@ -449,7 +450,7 @@ class WACNN(nn.Module):
             )
             rows = gc_build_indexes(scale, table)
             rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
-            carry, bins_l = ans_decode_plane(carry, rows_l, words, tables)
+            carry, bins_l = ans_decode_plane(carry, rows_l, tables)
             bins = lanes_to_plane(bins_l, n_y).reshape(b, yh, yw, sc)
             vals = bins_to_values(bins, rows, tables)
             y_hat_slice = vals.astype(jnp.float32) + mu

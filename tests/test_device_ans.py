@@ -57,8 +57,9 @@ def test_encode_decode_roundtrip_single_plane():
     )
     flat, counts = compact_words(flags, words)
 
-    carry = ans_decode_init(states, counts)
-    carry, out = ans_decode_plane(carry, jnp.asarray(rows), flat, dev)
+    cap = int(np.asarray(counts).max()) + 1
+    carry = ans_decode_init(states, counts, flat, cap)
+    carry, out = ans_decode_plane(carry, jnp.asarray(rows), dev)
     np.testing.assert_array_equal(np.asarray(out), bins)
     # fully drained: every lane consumed exactly its words and returned to L
     np.testing.assert_array_equal(
@@ -91,9 +92,10 @@ def test_multi_plane_chaining_matches_single_scan():
     flat, counts = compact_words(flags, words)
 
     # TWO decode scans chained through the carry
-    carry = ans_decode_init(states, counts)
-    carry, out_a = ans_decode_plane(carry, jnp.asarray(rows_a), flat, dev)
-    carry, out_b = ans_decode_plane(carry, jnp.asarray(rows_b), flat, dev)
+    cap = int(np.asarray(counts).max()) + 1
+    carry = ans_decode_init(states, counts, flat, cap)
+    carry, out_a = ans_decode_plane(carry, jnp.asarray(rows_a), dev)
+    carry, out_b = ans_decode_plane(carry, jnp.asarray(rows_b), dev)
     np.testing.assert_array_equal(np.asarray(out_a), bins_a)
     np.testing.assert_array_equal(np.asarray(out_b), bins_b)
     assert np.all(np.asarray(carry.states) == 1 << 16)

@@ -17,6 +17,14 @@ class _Arr:
     def block_until_ready(self):
         return self
 
+    def __getitem__(self, key):  # the pipeline syncs via a tiny fetch
+        return self
+
+    def __array__(self, dtype=None, copy=None):
+        import numpy as np
+
+        return np.asarray([self.v], dtype=dtype)
+
 
 class _FakeCodec:
     def __init__(self, fail_decode_at=None, delay=0.0):
