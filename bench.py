@@ -176,8 +176,11 @@ def main():
     # --- on-device-coded path: entropy coding inside the XLA program, so
     # only real bitstream bytes cross the link and decode is ONE dispatch.
     # lanes=512 per the on-chip sweep: 4x fewer scan steps than 128 for
-    # +0.06 bpp of per-lane header (reported below as coded bpp) ---
+    # +0.06 bpp of per-lane header (reported below as coded bpp).
+    # Significance-split mode: the zero/nonzero plane codes pure-ALU, so
+    # only sparse nonzero residuals pay the table-gather floor ---
     codec.coded_lanes = 512
+    codec.coded_split = True
     out_c = codec.compress_coded(x)  # compile + warm
     codec.decompress_coded(out_c["strings"], out_c["shape"])
     coded_times = []

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -149,6 +149,55 @@ def build_device_tables(*tables: CdfTable) -> Tuple[DeviceAnsTables, np.ndarray]
     return dev, row_base
 
 
+def build_split_tables(
+    gc: CdfTable, precision: int = PRECISION
+) -> Tuple["DeviceAnsTables", np.ndarray, np.ndarray]:
+    """Significance-split view of a Gaussian-conditional table.
+
+    Splits each row's distribution at the zero-value (center) bin:
+        p(bin) = p0 * [bin == center] + (1 - p0) * p_cond(bin)
+    The binary significance plane codes zero/nonzero with p0 taken
+    EXACTLY from the original integer table (freq of the center bin), so
+    it needs no table at coding time; only nonzero values touch the
+    conditional tables built here.
+
+    Returns (cond_dev_tables, p0 (R,) int32, center (R,) int32) where
+    cond rows use the center-removed bin index (bin - [bin > center]).
+    """
+    from . import pmf_to_quantized_cdf_batch
+
+    rows = gc.ncdfs
+    p0 = np.zeros(rows, np.int32)
+    center = np.zeros(rows, np.int32)
+    max_pmf = gc.max_len - 2  # real bins per row upper bound
+    pmfs = np.zeros((rows, max_pmf), np.float32)
+    tails = np.zeros(rows, np.float32)
+    lens = np.zeros(rows, np.int32)
+    for r in range(rows):
+        L = int(gc.cdf_length[r])
+        bounds = gc.cdf[r, :L]
+        f = np.diff(bounds).astype(np.float64)  # nb bins, escape last
+        nb = L - 1
+        c = int(-gc.offset[r])  # bin index of value 0
+        assert 0 <= c <= nb - 2, "center bin outside real support"
+        center[r] = c
+        p0[r] = int(f[c])
+        f_real = np.delete(f[: nb - 1], c)  # real bins minus center
+        tot = f_real.sum() + f[nb - 1]
+        lens[r] = len(f_real)
+        if len(f_real):
+            pmfs[r, : len(f_real)] = (f_real / max(tot, 1.0)).astype(
+                np.float32
+            )
+        tails[r] = np.float32(f[nb - 1] / max(tot, 1.0))
+    # degenerate rows (only the center bin): keep one dummy bin
+    lens = np.maximum(lens, 1)
+    pmfs[:, 0] = np.maximum(pmfs[:, 0], 1e-9)
+    cond = pmf_to_quantized_cdf_batch(pmfs, tails, lens, precision)
+    dev, _ = build_device_tables(cond)
+    return dev, p0, center
+
+
 # --------------------------------------------------------------------------
 # lane layout
 # --------------------------------------------------------------------------
@@ -180,43 +229,76 @@ def lanes_to_plane(lanes_arr: jax.Array, n: int) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def ans_encode_planes(
-    syms: jax.Array,  # (B, L, T) int32 — symbol BINS, decode order on T
-    idxs: jax.Array,  # (B, L, T) int32 — combined-namespace row ids
-    tables: DeviceAnsTables,
+def ans_encode_packed(
+    pre: jax.Array,  # (B, L, T) int32 — (cdf_lo << 16 | freq) per symbol
+    active: Optional[jax.Array] = None,  # (B, L, T) bool; None = all active
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Encode every lane's symbol sequence (one reversed scan).
+    """Encode pre-packed (cdf_lo, freq) entries (one reversed ALU scan).
+
+    Inactive steps (active=False) leave the lane state untouched and emit
+    nothing — the masked-step mechanism the significance-split value
+    planes use for their per-lane variable symbol counts. Inactive
+    entries must still carry freq >= 1 (the div executes unmasked).
 
     Returns (states (B,L) uint32, flags (B,L,T) bool, words (B,L,T) int32):
     flags[b,l,t] marks that decoding symbol t of lane (b,l) consumes
     words[b,l,t]. Word storage is already in decode read order.
     """
-    b, l, t = syms.shape
-    packed = tables.packed
-    lmax = packed.shape[1]
-
-    # Pre-gather every symbol's (cdf_lo, freq) in ONE parallel gather:
-    # in-scan gathers are throughput-bound at ~13 ns/element on this
-    # backend and serialize with the state update; hoisted, the gather
-    # runs ~2x faster and the scan body is pure ALU (~1 us/step).
-    pre = packed.reshape(-1)[idxs * lmax + syms]  # (B, L, T) int32
+    b, l, t = pre.shape
     pre_t = jnp.moveaxis(pre, -1, 0)  # (T, B, L)
+    if active is None:
+        xs = (pre_t, jnp.ones((t, b, l), jnp.bool_))
+    else:
+        xs = (pre_t, jnp.moveaxis(active, -1, 0))
 
-    def step(states, p_i32):
+    def step(states, x_in):
+        p_i32, act = x_in
         p = jax.lax.bitcast_convert_type(p_i32, jnp.uint32)
         f = p & MASK16
         c = p >> 16
-        need = states >= (f << 16)
+        need = act & (states >= (f << 16))
         word = (states & MASK16).astype(jnp.int32)
         x = jnp.where(need, states >> 16, states)
         x = ((x // f) << PRECISION) + (x % f) + c
+        x = jnp.where(act, x, states)
         return x, (need, word)
 
     init = jnp.full((b, l), RANS_L, jnp.uint32)
-    states, (flags_t, words_t) = jax.lax.scan(
-        step, init, pre_t, reverse=True
-    )
+    states, (flags_t, words_t) = jax.lax.scan(step, init, xs, reverse=True)
     return states, jnp.moveaxis(flags_t, 0, -1), jnp.moveaxis(words_t, 0, -1)
+
+
+def pack_table_entries(
+    syms: jax.Array, idxs: jax.Array, tables: DeviceAnsTables
+) -> jax.Array:
+    """Pre-gather (cdf_lo << 16 | freq) for table-coded symbols — ONE
+    parallel gather (in-scan gathers are throughput-bound at ~13
+    ns/element on this backend and serialize with the state update)."""
+    lmax = tables.packed.shape[1]
+    return tables.packed.reshape(-1)[idxs * lmax + syms]
+
+
+def pack_binary_entries(p0: jax.Array, bits: jax.Array) -> jax.Array:
+    """(cdf_lo << 16 | freq) for binary symbols with P(0) = p0/2^16.
+
+    Pure ALU — binary significance planes never touch a table.
+    p0 must lie in [1, 65535].
+    """
+    p0u = p0.astype(jnp.uint32)
+    b1 = bits.astype(jnp.uint32)
+    f = jnp.where(b1 == 0, p0u, (jnp.uint32(1) << 16) - p0u)
+    lo = jnp.where(b1 == 0, jnp.uint32(0), p0u)
+    return jax.lax.bitcast_convert_type((lo << 16) | f, jnp.int32)
+
+
+def ans_encode_planes(
+    syms: jax.Array,  # (B, L, T) int32 — symbol BINS, decode order on T
+    idxs: jax.Array,  # (B, L, T) int32 — combined-namespace row ids
+    tables: DeviceAnsTables,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Encode every lane's table-coded symbol sequence (see
+    ans_encode_packed)."""
+    return ans_encode_packed(pack_table_entries(syms, idxs, tables))
 
 
 def compact_words(
@@ -337,10 +419,75 @@ def ans_decode_init(
     )
 
 
+def _renorm_read(states, ptrs, x, dense, jcols):
+    """Shared renorm: refill from the dense per-lane word matrix via an
+    exact integer one-hot select (pure VPU; no in-scan gather)."""
+    need = x < RANS_L
+    onehot = (jcols[None, None, :] == ptrs[..., None]).astype(jnp.int32)
+    w = jnp.sum(dense * onehot, axis=-1).astype(jnp.uint32)
+    x = jnp.where(need, (x << 16) | (w & MASK16), x)
+    return x, ptrs + need.astype(jnp.int32)
+
+
+def ans_decode_binary_plane(
+    carry: AnsDecodeCarry,
+    p0: jax.Array,  # (B, L, T) int32 — P(bit==0) * 2^16 per position
+) -> Tuple[AnsDecodeCarry, jax.Array]:
+    """Decode one binary plane — pure-ALU scan steps, NO table gathers.
+
+    Returns (carry, bits (B,L,T) int32). Used by the significance-split
+    coder: the zero/nonzero decision of every symbol is coded here at
+    ~1 us/step, so only the sparse nonzero values pay the table-gather
+    throughput floor.
+    """
+    p0_t = jnp.moveaxis(p0, -1, 0)
+    dense = carry.dense
+    jcols = jnp.arange(dense.shape[-1], dtype=jnp.int32)
+
+    def step(c, p0_i):
+        states, ptrs = c
+        peek = states & MASK16
+        p0u = p0_i.astype(jnp.uint32)
+        bit = (peek >= p0u).astype(jnp.int32)
+        f = jnp.where(bit == 0, p0u, (jnp.uint32(1) << 16) - p0u)
+        lo = jnp.where(bit == 0, jnp.uint32(0), p0u)
+        x = f * (states >> 16) + peek - lo
+        x, ptrs = _renorm_read(states, ptrs, x, dense, jcols)
+        return (x, ptrs), bit
+
+    (states, ptrs), bits_t = jax.lax.scan(
+        step, (carry.states, carry.ptrs), p0_t
+    )
+    new_carry = AnsDecodeCarry(states=states, ptrs=ptrs, dense=dense)
+    return new_carry, jnp.moveaxis(bits_t, 0, -1)
+
+
+def rank_select(
+    flags: jax.Array, cap: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Positions of each lane's j-th set flag: (B,L,T) -> (B,L,cap).
+
+    Same all-integer compare-and-sum as compact_words_dense; returns
+    (tidx (B,L,cap) int32 clamped to T-1, counts (B,L) int32). Slots
+    beyond a lane's count point at T-1 — callers mask on counts.
+    """
+    b, l, t = flags.shape
+    fl = flags.reshape(b * l, t).astype(jnp.int32)
+    cum = jnp.cumsum(fl, axis=1)
+    counts = cum[:, -1]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    tidx = jnp.sum(
+        (cum[:, None, :] <= j[None, :, None]).astype(jnp.int32), axis=-1
+    )
+    tidx = jnp.minimum(tidx, t - 1)
+    return tidx.reshape(b, l, cap), counts.reshape(b, l)
+
+
 def ans_decode_plane(
     carry: AnsDecodeCarry,
     idxs: jax.Array,  # (B, L, T) int32 — row ids, decode order
     tables: DeviceAnsTables,
+    active: Optional[jax.Array] = None,  # (B, L, T) bool
 ) -> Tuple[AnsDecodeCarry, jax.Array]:
     """Decode one plane; returns (carry, symbol bins (B,L,T) int32).
 
@@ -350,28 +497,36 @@ def ans_decode_plane(
     recovered afterwards with one parallel sym_lut gather over every
     recorded peek — both off the gather-throughput-bound critical path.
     """
+    b, l, t = idxs.shape
     idxs_t = jnp.moveaxis(idxs, -1, 0)  # (T, B, L)
     dlut, lut = tables.dec_lut, tables.sym_lut
     dense = carry.dense
-    cap = dense.shape[-1]
-    jcols = jnp.arange(cap, dtype=jnp.int32)
+    jcols = jnp.arange(dense.shape[-1], dtype=jnp.int32)
+    if active is None:
+        xs = (idxs_t, jnp.ones((t, b, l), jnp.bool_))
+    else:
+        xs = (idxs_t, jnp.moveaxis(active, -1, 0))
 
-    def step(c, r):
+    def step(c, x_in):
+        r, act = x_in
         states, ptrs = c
         peek = (states & MASK16).astype(jnp.int32)
         e = jax.lax.bitcast_convert_type(
             dlut.reshape(-1)[r * (1 << PRECISION) + peek], jnp.uint32
         )
         x = (e >> 16) * (states >> 16) + (e & MASK16)
-        need = x < RANS_L
-        onehot = (jcols[None, None, :] == ptrs[..., None]).astype(jnp.int32)
+        need = act & (x < RANS_L)
+        onehot = (
+            (jcols[None, None, :] == ptrs[..., None]) & need[..., None]
+        ).astype(jnp.int32)
         w = jnp.sum(dense * onehot, axis=-1).astype(jnp.uint32)
         x = jnp.where(need, (x << 16) | (w & MASK16), x)
+        x = jnp.where(act, x, states)
         ptrs = ptrs + need.astype(jnp.int32)
         return (x, ptrs), peek
 
     (states, ptrs), peeks_t = jax.lax.scan(
-        step, (carry.states, carry.ptrs), idxs_t
+        step, (carry.states, carry.ptrs), xs
     )
     syms_t = lut.reshape(-1)[idxs_t * (1 << PRECISION) + peeks_t]
     new_carry = AnsDecodeCarry(states=states, ptrs=ptrs, dense=dense)
@@ -381,6 +536,34 @@ def ans_decode_plane(
 # --------------------------------------------------------------------------
 # symbol <-> bin mapping
 # --------------------------------------------------------------------------
+
+
+def select_by_index(values: jax.Array, tidx: jax.Array) -> jax.Array:
+    """(B,L,T) values selected at (B,L,cap) positions -> (B,L,cap).
+
+    An exact integer one-hot contraction — take_along_axis lowers to the
+    ~13 ns/element gather path on this backend, which for the split
+    coder's per-slice selects costs more than the whole value scan.
+    """
+    t = values.shape[-1]
+    onehot = (
+        jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
+        == tidx[..., None]
+    ).astype(jnp.int32)
+    return jnp.sum(values[:, :, None, :] * onehot, axis=-1)
+
+
+def map_rows_const(rows: jax.Array, consts: Tuple[int, ...]) -> jax.Array:
+    """Per-element lookup into a tiny static table WITHOUT a gather.
+
+    A static select chain over the (64-ish) row ids — constants fold into
+    the fused elementwise op, so this is pure VPU work where a gather
+    would pay the ~13 ns/element throughput floor.
+    """
+    acc = jnp.full(rows.shape, int(consts[0]), jnp.int32)
+    for r in range(1, len(consts)):
+        acc = jnp.where(rows == r, jnp.int32(int(consts[r])), acc)
+    return acc
 
 
 def values_to_bins(

@@ -85,13 +85,17 @@ class WACNNCodec:
         # fully-fused on-device-coded paths (entropy coding inside XLA):
         # ONE dispatch per direction; only compressed words cross the link
         self.coded_lanes = 128
+        # significance-split coding (zero/nonzero binary plane + sparse
+        # value plane): ~6x fewer table-gathered symbols on the decode
+        # scan's critical path at trained-model sparsity
+        self.coded_split = False
         self._encode_coded_fn = jax.jit(
             functools.partial(model.apply, method="encode_coded"),
-            static_argnames=("lanes", "cap"),
+            static_argnames=("lanes", "cap", "split_consts"),
         )
         self._decode_coded_fn = jax.jit(
             functools.partial(model.apply, method="decode_coded"),
-            static_argnames=("z_shape", "lanes", "cap"),
+            static_argnames=("z_shape", "lanes", "cap", "split_consts"),
         )
 
     @staticmethod
@@ -131,10 +135,17 @@ class WACNNCodec:
         self.gc_table = build_gc_table(self.scale_table)
         self._medians = eb_medians(eb_params)
         # device-side view of the SAME integer tables for the on-device coder
-        from ..coding.device_ans import build_device_tables
+        from ..coding.device_ans import build_device_tables, build_split_tables
 
         assert self.gc_table.ncdfs == 64, "encode_coded assumes 64 GC rows"
         self.dev_tables, _ = build_device_tables(self.gc_table, self.eb_table)
+        cond, p0, center = build_split_tables(self.gc_table)
+        self.split_tables = cond
+        self._split_consts = (
+            tuple(int(v) for v in p0),
+            tuple(int(v) for v in center),
+            tuple(int(v) for v in self.gc_table.offset),
+        )
         return True
 
     def _check_updated(self):
@@ -199,7 +210,17 @@ class WACNNCodec:
         """
         self._check_updated()
         L = self.coded_lanes
-        out = self._encode_coded_fn(self.params, x, self.dev_tables, lanes=L)
+        skw = (
+            dict(
+                split_tables=self.split_tables,
+                split_consts=self._split_consts,
+            )
+            if self.coded_split
+            else {}
+        )
+        out = self._encode_coded_fn(
+            self.params, x, self.dev_tables, lanes=L, **skw
+        )
         for k in ("counts", "states", "words"):
             out[k].copy_to_host_async()
         self._warn_saturation(out)
@@ -219,7 +240,7 @@ class WACNNCodec:
                 RuntimeWarning,
             )
             out = self._encode_coded_fn(
-                self.params, x, self.dev_tables, lanes=L, cap=cap2
+                self.params, x, self.dev_tables, lanes=L, cap=cap2, **skw
             )
             counts = np.asarray(out["counts"]).astype(np.uint32)
             states = np.asarray(out["states"]).astype(np.uint32)
@@ -269,6 +290,14 @@ class WACNNCodec:
         padded[: len(flat)] = flat
 
         c = getattr(self.model, "hyper_ch", None) or self.model.N
+        skw = (
+            dict(
+                split_tables=self.split_tables,
+                split_consts=self._split_consts,
+            )
+            if self.coded_split
+            else {}
+        )
         x_hat, y_hat = self._decode_coded_fn(
             self.params,
             jnp.asarray(padded),
@@ -278,6 +307,7 @@ class WACNNCodec:
             z_shape=(b, shape[0], shape[1], c),
             lanes=L,
             cap=self._bucket(int(counts.max()) if counts.size else 1, lo=32),
+            **skw,
         )
         return {"x_hat": x_hat, "y_hat": y_hat}
 

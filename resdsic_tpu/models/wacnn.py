@@ -313,7 +313,13 @@ class WACNN(nn.Module):
     # decode loop (cnn.py:260-342) with a TPU-resident equivalent.
 
     def encode_coded(
-        self, x: jax.Array, tables, lanes: int = 128, cap: int = 0
+        self,
+        x: jax.Array,
+        tables,
+        lanes: int = 128,
+        cap: int = 0,
+        split_tables=None,
+        split_consts=None,
     ):
         """Full encoder + on-device rANS. Returns dense words + header.
 
@@ -323,14 +329,28 @@ class WACNN(nn.Module):
         (B*lanes, cap) dense per-lane matrix (compact_words_dense);
         `cap` <= 0 means T/8 — the driver re-dispatches with a larger cap
         if any lane overflows (counts are exact either way).
+
+        With split_tables/split_consts (significance-split mode) each y
+        slice codes as [binary significance plane, dense nonzero-value
+        plane]: the zero/nonzero decision is pure-ALU rANS, and only the
+        sparse nonzero residuals pay the table-gather throughput floor.
+        Nonzeros beyond the per-lane value cap are coerced to zero on
+        BOTH sides (counted in n_saturated).
         """
         from ..coding.device_ans import (
-            ans_encode_planes,
+            ans_encode_packed,
             bins_to_values,
             compact_words_dense,
+            map_rows_const,
+            pack_binary_entries,
+            pack_table_entries,
             plane_to_lanes,
+            rank_select,
+            select_by_index,
             values_to_bins,
         )
+
+        split = split_tables is not None
 
         y = self._seq(self.g_a, x)
         z = self._seq(self.h_a, y)
@@ -351,7 +371,18 @@ class WACNN(nn.Module):
 
         table = self._scale_table()
         sc = self.slice_ch
-        y_hat_slices, bin_planes, row_planes = [], [], []
+        y_hat_slices = []
+        # NOTE: lane-layout BEFORE packing — plane_to_lanes zero-pads, and
+        # bins=0/rows=0 is a valid (freq>=1) entry while a zero-padded
+        # PACKED entry would mean freq=0 and desync the stream
+        entry_planes = [
+            pack_table_entries(
+                plane_to_lanes(z_bins.reshape(b, -1), lanes),
+                plane_to_lanes(z_rows.reshape(b, -1), lanes),
+                tables,
+            )
+        ]
+        active_planes = [jnp.ones_like(entry_planes[0], jnp.bool_)]
         n_saturated = jnp.zeros((), jnp.int32)
         for i in range(self.num_slices):
             y_slice = y[..., i * sc : (i + 1) * sc]
@@ -364,27 +395,65 @@ class WACNN(nn.Module):
             bins = values_to_bins(raw, rows, tables)
             vals = bins_to_values(bins, rows, tables)
             n_saturated = n_saturated + jnp.sum((raw != vals).astype(jnp.int32))
-            bin_planes.append(bins.reshape(b, -1))
-            row_planes.append(rows.reshape(b, -1))
+
+            if not split:
+                entry_planes.append(
+                    pack_table_entries(
+                        plane_to_lanes(bins.reshape(b, -1), lanes),
+                        plane_to_lanes(rows.reshape(b, -1), lanes),
+                        tables,
+                    )
+                )
+                active_planes.append(
+                    jnp.ones_like(entry_planes[-1], jnp.bool_)
+                )
+            else:
+                p0c, centc, offc = split_consts
+                rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
+                bins_l = plane_to_lanes(bins.reshape(b, -1), lanes)
+                vals_l = plane_to_lanes(vals.reshape(b, -1), lanes)
+                ts = rows_l.shape[-1]
+                capv = max(8, ts // 2)
+                sig = vals_l != 0
+                rank = jnp.cumsum(sig.astype(jnp.int32), axis=-1)
+                keep = sig & (rank <= capv)
+                n_saturated = n_saturated + jnp.sum(
+                    (sig & ~keep).astype(jnp.int32)
+                )
+                # reconstruction uses the coerced (kept-only) values
+                from ..coding.device_ans import lanes_to_plane
+
+                vals = lanes_to_plane(
+                    jnp.where(keep, vals_l, 0), vals.reshape(b, -1).shape[1]
+                ).reshape(vals.shape)
+
+                p0_pos = map_rows_const(rows_l, p0c)
+                entry_planes.append(pack_binary_entries(p0_pos, keep))
+                active_planes.append(jnp.ones_like(keep))
+
+                tidx, counts_v = rank_select(keep, capv)
+                vb = select_by_index(bins_l, tidx)
+                vr = select_by_index(rows_l, tidx)
+                cb = map_rows_const(vr, centc)
+                v_cond = vb - (vb > cb).astype(jnp.int32)
+                entry_planes.append(
+                    pack_table_entries(v_cond, vr, split_tables)
+                )
+                active_planes.append(
+                    jnp.arange(capv, dtype=jnp.int32)[None, None, :]
+                    < counts_v[..., None]
+                )
+
             y_hat_slice = vals.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)
 
-        # decode-order sequence: z first, then slices 0..ns-1
-        bins_seq = jnp.concatenate(
-            [plane_to_lanes(z_bins.reshape(b, -1), lanes)]
-            + [plane_to_lanes(p, lanes) for p in bin_planes],
-            axis=-1,
-        )
-        rows_seq = jnp.concatenate(
-            [plane_to_lanes(z_rows.reshape(b, -1), lanes)]
-            + [plane_to_lanes(p, lanes) for p in row_planes],
-            axis=-1,
-        )
-        states, flags, words = ans_encode_planes(bins_seq, rows_seq, tables)
-        t_total = bins_seq.shape[-1]
+        entries_seq = jnp.concatenate(entry_planes, axis=-1)
+        active_seq = jnp.concatenate(active_planes, axis=-1)
+        states, flags, words = ans_encode_packed(entries_seq, active_seq)
+        t_total = entries_seq.shape[-1]
         if cap <= 0:
-            cap = max(128, t_total // 8)
+            cap = max(128, t_total // 16)
         dense, counts = compact_words_dense(flags, words, cap=cap)
         return {
             "words": dense.astype(jnp.uint16),  # (B*lanes, cap) per-lane rows
@@ -403,6 +472,8 @@ class WACNN(nn.Module):
         z_shape: Tuple[int, int, int, int],
         lanes: int = 128,
         cap: int = 128,  # static >= counts.max(); driver buckets it
+        split_tables=None,
+        split_consts=None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Single-dispatch full decode: device rANS + slice loop + g_s.
 
@@ -413,13 +484,18 @@ class WACNN(nn.Module):
         the stepped decode path relies on, codec.py determinism rule).
         """
         from ..coding.device_ans import (
+            ans_decode_binary_plane,
             ans_decode_init,
             ans_decode_plane,
             bins_to_values,
             lanes_to_plane,
+            map_rows_const,
             plane_to_lanes,
+            rank_select,
+            select_by_index,
         )
 
+        split = split_tables is not None
         b, zh, zw, zc = z_shape
         medians = self.entropy_bottleneck.medians()
 
@@ -450,9 +526,36 @@ class WACNN(nn.Module):
             )
             rows = gc_build_indexes(scale, table)
             rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
-            carry, bins_l = ans_decode_plane(carry, rows_l, tables)
-            bins = lanes_to_plane(bins_l, n_y).reshape(b, yh, yw, sc)
-            vals = bins_to_values(bins, rows, tables)
+            if not split:
+                carry, bins_l = ans_decode_plane(carry, rows_l, tables)
+                bins = lanes_to_plane(bins_l, n_y).reshape(b, yh, yw, sc)
+                vals = bins_to_values(bins, rows, tables)
+            else:
+                p0c, centc, offc = split_consts
+                ts = rows_l.shape[-1]
+                capv = max(8, ts // 2)
+                p0_pos = map_rows_const(rows_l, p0c)
+                carry, bits = ans_decode_binary_plane(carry, p0_pos)
+                tidx, counts_v = rank_select(bits.astype(jnp.bool_), capv)
+                vr = select_by_index(rows_l, tidx)
+                act = (
+                    jnp.arange(capv, dtype=jnp.int32)[None, None, :]
+                    < counts_v[..., None]
+                )
+                carry, v_cond = ans_decode_plane(
+                    carry, vr, split_tables, active=act
+                )
+                cb = map_rows_const(vr, centc)
+                vbin = v_cond + (v_cond >= cb).astype(jnp.int32)
+                vvals = jnp.where(act, vbin + map_rows_const(vr, offc), 0)
+                # place the k-th decoded value at the lane's k-th set bit
+                rank = jnp.cumsum(bits, axis=-1)  # (B, L, Ts) inclusive
+                onehot = (
+                    (rank[..., None] - 1)
+                    == jnp.arange(capv, dtype=jnp.int32)[None, None, None, :]
+                ).astype(jnp.int32) * bits[..., None]
+                vals_l = jnp.sum(onehot * vvals[..., None, :], axis=-1)
+                vals = lanes_to_plane(vals_l, n_y).reshape(b, yh, yw, sc)
             y_hat_slice = vals.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)

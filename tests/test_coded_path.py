@@ -61,6 +61,29 @@ def test_coded_rate_sane_vs_host(codec, x):
     assert coded_payload < host_bytes * 1.1 + 2 * codec.coded_lanes * n + 64
 
 
+def test_coded_split_roundtrip_bit_exact(codec, x):
+    """Significance-split mode: binary zero/nonzero plane + sparse value
+    plane must roundtrip bit-exactly and decode to the same y_hat."""
+    codec.coded_split = True
+    try:
+        assert codec.selftest_coded(x)
+    finally:
+        codec.coded_split = False
+
+
+def test_coded_split_rate_close_to_plain(codec, x):
+    """The split decomposition p(sym) = p0*[zero] + (1-p0)*p_cond is the
+    same model up to conditional-table requantization — total bytes must
+    track the plain coded path closely."""
+    plain = sum(len(s) for s in codec.compress_coded(x)["strings"][0])
+    codec.coded_split = True
+    try:
+        split = sum(len(s) for s in codec.compress_coded(x)["strings"][0])
+    finally:
+        codec.coded_split = False
+    assert split < plain * 1.08 + 512
+
+
 @pytest.fixture(scope="module")
 def scal_codec():
     from resdsic_tpu.models import ScalableCodec
