@@ -200,6 +200,21 @@ class WACNNCodec:
     def _bucket(n: int, lo: int = 4096) -> int:
         return max(lo, 1 << (max(n, 1) - 1).bit_length())
 
+    _dense_prefix_fns: Dict[int, Any] = {}
+
+    @classmethod
+    def _dense_prefix(cls, dense: jax.Array, cap_fetch: int) -> jax.Array:
+        """Column prefix of the dense word matrix (jit per static width).
+
+        The encoder's word cap is a safety bound (~T/16); real lanes hold
+        ~bpp-proportional counts, so fetching only a bucketed prefix cuts
+        the dominant d2h volume several-fold for one extra dispatch."""
+        fn = cls._dense_prefix_fns.get(cap_fetch)
+        if fn is None:
+            fn = jax.jit(lambda w: w[:, :cap_fetch])
+            cls._dense_prefix_fns[cap_fetch] = fn
+        return fn(dense)
+
     def compress_coded(self, x: jax.Array, return_debug: bool = False) -> Dict[str, Any]:
         """One-dispatch encoder with on-device entropy coding.
 
@@ -221,7 +236,7 @@ class WACNNCodec:
         out = self._encode_coded_fn(
             self.params, x, self.dev_tables, lanes=L, **skw
         )
-        for k in ("counts", "states", "words"):
+        for k in ("counts", "states"):
             out[k].copy_to_host_async()
         self._warn_saturation(out)
         counts = np.asarray(out["counts"]).astype(np.uint32)
@@ -244,7 +259,13 @@ class WACNNCodec:
             )
             counts = np.asarray(out["counts"]).astype(np.uint32)
             states = np.asarray(out["states"]).astype(np.uint32)
-        dense = np.asarray(out["words"])  # (B*L, cap) uint16
+            cap = int(out["words"].shape[1])
+        cap_fetch = min(self._bucket(max(cmax, 1), lo=16), cap)
+        dense = np.asarray(
+            self._dense_prefix(out["words"], cap_fetch)
+            if cap_fetch < cap
+            else out["words"]
+        )  # (B*L, cap_fetch) uint16
 
         b = counts.shape[0]
         strings = []
@@ -588,7 +609,7 @@ class ScalableCodec(WACNNCodec):
         out = self._encode_coded_fn(
             self.params, x, self.dev_tables, q=q, lanes=L
         )
-        for k in ("counts", "states", "words"):
+        for k in ("counts", "states"):
             out[k].copy_to_host_async()
         self._warn_saturation(out)
         counts = np.asarray(out["counts"]).astype(np.uint32)
@@ -609,7 +630,13 @@ class ScalableCodec(WACNNCodec):
             )
             counts = np.asarray(out["counts"]).astype(np.uint32)
             states = np.asarray(out["states"]).astype(np.uint32)
-        dense = np.asarray(out["words"])
+            cap = int(out["words"].shape[1])
+        cap_fetch = min(self._bucket(max(cmax, 1), lo=16), cap)
+        dense = np.asarray(
+            self._dense_prefix(out["words"], cap_fetch)
+            if cap_fetch < cap
+            else out["words"]
+        )
 
         b = counts.shape[0]
         strings = []
