@@ -534,6 +534,88 @@ def ans_decode_plane(
 
 
 # --------------------------------------------------------------------------
+# significance-split planes (shared by WACNN and the scalable family)
+# --------------------------------------------------------------------------
+
+
+def split_encode_plane(
+    rows_l: jax.Array,  # (B, L, T) int32 — GC row ids, lane layout
+    bins_l: jax.Array,  # (B, L, T) int32 — symbol bins
+    vals_l: jax.Array,  # (B, L, T) int32 — symbol values (0 == center)
+    cond_tables: DeviceAnsTables,
+    consts: Tuple[Tuple[int, ...], Tuple[int, ...], Tuple[int, ...]],
+):
+    """Encode-side significance split of one lane-layout symbol plane.
+
+    Returns (entry_planes, active_planes, coerced_vals_l, n_overflow):
+    a pure-ALU binary significance plane over every position plus a
+    dense per-lane value plane holding only the nonzero residuals
+    (center-removed conditional bins). Nonzeros past the per-lane cap
+    are coerced to zero on both sides (n_overflow counts them).
+    """
+    p0c, centc, _ = consts
+    ts = rows_l.shape[-1]
+    capv = max(8, ts // 2)
+    sig = vals_l != 0
+    rank = jnp.cumsum(sig.astype(jnp.int32), axis=-1)
+    keep = sig & (rank <= capv)
+    n_overflow = jnp.sum((sig & ~keep).astype(jnp.int32))
+    vals_coerced = jnp.where(keep, vals_l, 0)
+
+    p0_pos = map_rows_const(rows_l, p0c)
+    sig_entries = pack_binary_entries(p0_pos, keep)
+
+    tidx, counts_v = rank_select(keep, capv)
+    vb = select_by_index(bins_l, tidx)
+    vr = select_by_index(rows_l, tidx)
+    cb = map_rows_const(vr, centc)
+    v_cond = vb - (vb > cb).astype(jnp.int32)
+    val_entries = pack_table_entries(v_cond, vr, cond_tables)
+    act_val = (
+        jnp.arange(capv, dtype=jnp.int32)[None, None, :]
+        < counts_v[..., None]
+    )
+    return (
+        [sig_entries, val_entries],
+        [jnp.ones_like(keep), act_val],
+        vals_coerced,
+        n_overflow,
+    )
+
+
+def split_decode_plane(
+    carry: AnsDecodeCarry,
+    rows_l: jax.Array,  # (B, L, T) int32
+    cond_tables: DeviceAnsTables,
+    consts: Tuple[Tuple[int, ...], Tuple[int, ...], Tuple[int, ...]],
+) -> Tuple[AnsDecodeCarry, jax.Array]:
+    """Decode-side mirror of split_encode_plane; returns values (B,L,T)."""
+    p0c, centc, offc = consts
+    ts = rows_l.shape[-1]
+    capv = max(8, ts // 2)
+    p0_pos = map_rows_const(rows_l, p0c)
+    carry, bits = ans_decode_binary_plane(carry, p0_pos)
+    tidx, counts_v = rank_select(bits.astype(jnp.bool_), capv)
+    vr = select_by_index(rows_l, tidx)
+    act = (
+        jnp.arange(capv, dtype=jnp.int32)[None, None, :]
+        < counts_v[..., None]
+    )
+    carry, v_cond = ans_decode_plane(carry, vr, cond_tables, active=act)
+    cb = map_rows_const(vr, centc)
+    vbin = v_cond + (v_cond >= cb).astype(jnp.int32)
+    vvals = jnp.where(act, vbin + map_rows_const(vr, offc), 0)
+    # place the k-th decoded value at the lane's k-th set bit
+    rank = jnp.cumsum(bits, axis=-1)
+    onehot = (
+        (rank[..., None] - 1)
+        == jnp.arange(capv, dtype=jnp.int32)[None, None, None, :]
+    ).astype(jnp.int32) * bits[..., None]
+    vals_l = jnp.sum(onehot * vvals[..., None, :], axis=-1)
+    return carry, vals_l
+
+
+# --------------------------------------------------------------------------
 # symbol <-> bin mapping
 # --------------------------------------------------------------------------
 

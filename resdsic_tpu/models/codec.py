@@ -569,11 +569,13 @@ class ScalableCodec(WACNNCodec):
         )
         self._encode_coded_fn = jax.jit(
             functools.partial(model.apply, method="encode_coded_scalable"),
-            static_argnames=("q", "lanes", "cap"),
+            static_argnames=("q", "lanes", "cap", "split_consts"),
         )
         self._decode_coded_fn = jax.jit(
             functools.partial(model.apply, method="decode_coded_scalable"),
-            static_argnames=("z_shape", "zp_shape", "q", "lanes", "cap"),
+            static_argnames=(
+                "z_shape", "zp_shape", "q", "lanes", "cap", "split_consts",
+            ),
         )
 
     def update(self, force: bool = False) -> bool:
@@ -585,11 +587,18 @@ class ScalableCodec(WACNNCodec):
         self.gc_table = build_gc_table(self.scale_table)
         self._medians = eb_medians(p["entropy_bottleneck"])
         self._medians_prog = eb_medians(p["entropy_bottleneck_prog"])
-        from ..coding.device_ans import build_device_tables
+        from ..coding.device_ans import build_device_tables, build_split_tables
 
         assert self.gc_table.ncdfs == 64, "coded paths assume 64 GC rows"
         self.dev_tables, _ = build_device_tables(
             self.gc_table, self.eb_table, self.eb_prog_table
+        )
+        cond, p0, center = build_split_tables(self.gc_table)
+        self.split_tables = cond
+        self._split_consts = (
+            tuple(int(v) for v in p0),
+            tuple(int(v) for v in center),
+            tuple(int(v) for v in self.gc_table.offset),
         )
         return True
 
@@ -606,8 +615,16 @@ class ScalableCodec(WACNNCodec):
         self._check_updated()
         L = self.coded_lanes
         q = self._normalize_quality(quality)
+        skw = (
+            dict(
+                split_tables=self.split_tables,
+                split_consts=self._split_consts,
+            )
+            if self.coded_split
+            else {}
+        )
         out = self._encode_coded_fn(
-            self.params, x, self.dev_tables, q=q, lanes=L
+            self.params, x, self.dev_tables, q=q, lanes=L, **skw
         )
         for k in ("counts", "states"):
             out[k].copy_to_host_async()
@@ -626,7 +643,8 @@ class ScalableCodec(WACNNCodec):
                 RuntimeWarning,
             )
             out = self._encode_coded_fn(
-                self.params, x, self.dev_tables, q=q, lanes=L, cap=cap2
+                self.params, x, self.dev_tables, q=q, lanes=L, cap=cap2,
+                **skw,
             )
             counts = np.asarray(out["counts"]).astype(np.uint32)
             states = np.asarray(out["states"]).astype(np.uint32)
@@ -691,6 +709,14 @@ class ScalableCodec(WACNNCodec):
             zp_shape = (b, zph, zpw, cp)
         else:
             zp_shape = None
+        skw = (
+            dict(
+                split_tables=self.split_tables,
+                split_consts=self._split_consts,
+            )
+            if self.coded_split
+            else {}
+        )
         x_hat, y_hat = self._decode_coded_fn(
             self.params,
             jnp.asarray(padded),
@@ -702,6 +728,7 @@ class ScalableCodec(WACNNCodec):
             q=q,
             lanes=L,
             cap=self._bucket(int(counts.max()) if counts.size else 1, lo=32),
+            **skw,
         )
         return {"x_hat": x_hat, "y_hat": y_hat}
 

@@ -560,16 +560,27 @@ class ResWACNNSharedEntropy(WACNN):
     # 64 + C_base + c (build_device_tables(gc, eb, eb_prog)).
 
     def encode_coded_scalable(
-        self, x: jax.Array, tables, q, lanes: int = 128, cap: int = 0
+        self,
+        x: jax.Array,
+        tables,
+        q,
+        lanes: int = 128,
+        cap: int = 0,
+        split_tables=None,
+        split_consts=None,
     ):
         from ...coding.device_ans import (
-            ans_encode_planes,
+            ans_encode_packed,
             bins_to_values,
             compact_words_dense,
+            lanes_to_plane,
+            pack_table_entries,
             plane_to_lanes,
+            split_encode_plane,
             values_to_bins,
         )
 
+        split = split_tables is not None
         b = x.shape[0]
         with_prog = q != 0
         table = self._scale_table()
@@ -589,9 +600,39 @@ class ResWACNNSharedEntropy(WACNN):
         latent_scales = self._seq(self.h_scale_s, z_hat)
         latent_means = self._seq(self.h_mean_s, z_hat)
 
-        bin_planes = [z_bins.reshape(b, -1)]
-        row_planes = [z_rows.reshape(b, -1)]
+        entry_planes, active_planes = [], []
         n_saturated = jnp.zeros((), jnp.int32)
+
+        def add_table_plane(bins_pl, rows_pl):
+            e = pack_table_entries(
+                plane_to_lanes(bins_pl.reshape(b, -1), lanes),
+                plane_to_lanes(rows_pl.reshape(b, -1), lanes),
+                tables,
+            )
+            entry_planes.append(e)
+            active_planes.append(jnp.ones_like(e, jnp.bool_))
+
+        def add_y_plane(bins_pl, rows_pl, vals_pl):
+            """Table-coded (plain) or significance-split y plane; returns
+            the (possibly coerced) reconstruction values."""
+            nonlocal n_saturated
+            if not split:
+                add_table_plane(bins_pl, rows_pl)
+                return vals_pl
+            rows_l = plane_to_lanes(rows_pl.reshape(b, -1), lanes)
+            bins_l = plane_to_lanes(bins_pl.reshape(b, -1), lanes)
+            vals_l = plane_to_lanes(vals_pl.reshape(b, -1), lanes)
+            entries, actives, coerced, n_over = split_encode_plane(
+                rows_l, bins_l, vals_l, split_tables, split_consts
+            )
+            entry_planes.extend(entries)
+            active_planes.extend(actives)
+            n_saturated = n_saturated + n_over
+            return lanes_to_plane(
+                coerced, vals_pl.reshape(b, -1).shape[1]
+            ).reshape(vals_pl.shape)
+
+        add_table_plane(z_bins, z_rows)
 
         if with_prog:
             y_progressive = self._seq(
@@ -612,8 +653,7 @@ class ResWACNNSharedEntropy(WACNN):
                 + medians_p
             )
             means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
-            bin_planes.append(zp_bins.reshape(b, -1))
-            row_planes.append(zp_rows.reshape(b, -1))
+            add_table_plane(zp_bins, zp_rows)
             mask = (
                 jnp.round(
                     self.masking(latent_scales, scale_prog=scales_prog, pr=q)
@@ -634,8 +674,7 @@ class ResWACNNSharedEntropy(WACNN):
             bins = values_to_bins(raw, rows, tables)
             vals = bins_to_values(bins, rows, tables)
             n_saturated = n_saturated + jnp.sum((raw != vals).astype(jnp.int32))
-            bin_planes.append(bins.reshape(b, -1))
-            row_planes.append(rows.reshape(b, -1))
+            vals = add_y_plane(bins, rows, vals)
             y_hat_slice = vals.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)
@@ -658,23 +697,18 @@ class ResWACNNSharedEntropy(WACNN):
                 n_saturated = n_saturated + jnp.sum(
                     (raw_p != vals_p).astype(jnp.int32)
                 )
-                bin_planes.append(bins_p.reshape(b, -1))
-                row_planes.append(rows_p.reshape(b, -1))
+                vals_p = add_y_plane(bins_p, rows_p, vals_p)
                 yp_hat = vals_p.astype(jnp.float32) + mu_p
                 if self.lrp_prog:
                     yp_hat = yp_hat + self._lrp_prog(i, mean_support_p, yp_hat)
                 yp_hat_slices.append(yp_hat)
 
-        bins_seq = jnp.concatenate(
-            [plane_to_lanes(p, lanes) for p in bin_planes], axis=-1
-        )
-        rows_seq = jnp.concatenate(
-            [plane_to_lanes(p, lanes) for p in row_planes], axis=-1
-        )
-        states, flags, words = ans_encode_planes(bins_seq, rows_seq, tables)
-        t_total = bins_seq.shape[-1]
+        entries_seq = jnp.concatenate(entry_planes, axis=-1)
+        active_seq = jnp.concatenate(active_planes, axis=-1)
+        states, flags, words = ans_encode_packed(entries_seq, active_seq)
+        t_total = entries_seq.shape[-1]
         if cap <= 0:
-            cap = max(128, t_total // 8)
+            cap = max(128, t_total // 16)
         dense, counts = compact_words_dense(flags, words, cap=cap)
 
         if with_prog:
@@ -708,6 +742,8 @@ class ResWACNNSharedEntropy(WACNN):
         q,
         lanes: int = 128,
         cap: int = 128,  # static >= counts.max(); driver buckets it
+        split_tables=None,
+        split_consts=None,
     ) -> Tuple[jax.Array, jax.Array]:
         from ...coding.device_ans import (
             ans_decode_init,
@@ -715,8 +751,10 @@ class ResWACNNSharedEntropy(WACNN):
             bins_to_values,
             lanes_to_plane,
             plane_to_lanes,
+            split_decode_plane,
         )
 
+        split = split_tables is not None
         with_prog = q != 0
         b, zh, zw, zc = z_shape
         medians = self.entropy_bottleneck.medians()
@@ -728,6 +766,17 @@ class ResWACNNSharedEntropy(WACNN):
             carry, bins_l = ans_decode_plane(carry, rows_l, tables)
             bins = lanes_to_plane(bins_l, int(np.prod(shp[1:]))).reshape(shp)
             return carry, bins_to_values(bins, rows, tables)
+
+        def dec_y_plane(carry, rows):
+            if not split:
+                return dec_plane(carry, rows)
+            shp = rows.shape
+            rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
+            carry, vals_l = split_decode_plane(
+                carry, rows_l, split_tables, split_consts
+            )
+            vals = lanes_to_plane(vals_l, int(np.prod(shp[1:]))).reshape(shp)
+            return carry, vals
 
         eb_base = jnp.int32(64)
         z_rows = eb_base + jnp.broadcast_to(
@@ -765,7 +814,7 @@ class ResWACNNSharedEntropy(WACNN):
                 i, latent_means, latent_scales, support
             )
             rows = gc_build_indexes(scale, table)
-            carry, vals = dec_plane(carry, rows)
+            carry, vals = dec_y_plane(carry, rows)
             y_hat_slice = vals.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)
@@ -780,7 +829,7 @@ class ResWACNNSharedEntropy(WACNN):
                     rows_p = gc_build_indexes(scale_p * block_mask, table)
                 else:
                     rows_p = gc_build_indexes(scale_p, table)
-                carry, vals_p = dec_plane(carry, rows_p)
+                carry, vals_p = dec_y_plane(carry, rows_p)
                 yp_hat = vals_p.astype(jnp.float32) + mu_p
                 if self.lrp_prog:
                     yp_hat = yp_hat + self._lrp_prog(i, mean_support_p, yp_hat)

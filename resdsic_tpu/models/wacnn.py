@@ -408,41 +408,24 @@ class WACNN(nn.Module):
                     jnp.ones_like(entry_planes[-1], jnp.bool_)
                 )
             else:
-                p0c, centc, offc = split_consts
+                from ..coding.device_ans import (
+                    lanes_to_plane,
+                    split_encode_plane,
+                )
+
                 rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
                 bins_l = plane_to_lanes(bins.reshape(b, -1), lanes)
                 vals_l = plane_to_lanes(vals.reshape(b, -1), lanes)
-                ts = rows_l.shape[-1]
-                capv = max(8, ts // 2)
-                sig = vals_l != 0
-                rank = jnp.cumsum(sig.astype(jnp.int32), axis=-1)
-                keep = sig & (rank <= capv)
-                n_saturated = n_saturated + jnp.sum(
-                    (sig & ~keep).astype(jnp.int32)
+                entries, actives, vals_coerced, n_over = split_encode_plane(
+                    rows_l, bins_l, vals_l, split_tables, split_consts
                 )
+                entry_planes.extend(entries)
+                active_planes.extend(actives)
+                n_saturated = n_saturated + n_over
                 # reconstruction uses the coerced (kept-only) values
-                from ..coding.device_ans import lanes_to_plane
-
                 vals = lanes_to_plane(
-                    jnp.where(keep, vals_l, 0), vals.reshape(b, -1).shape[1]
+                    vals_coerced, vals.reshape(b, -1).shape[1]
                 ).reshape(vals.shape)
-
-                p0_pos = map_rows_const(rows_l, p0c)
-                entry_planes.append(pack_binary_entries(p0_pos, keep))
-                active_planes.append(jnp.ones_like(keep))
-
-                tidx, counts_v = rank_select(keep, capv)
-                vb = select_by_index(bins_l, tidx)
-                vr = select_by_index(rows_l, tidx)
-                cb = map_rows_const(vr, centc)
-                v_cond = vb - (vb > cb).astype(jnp.int32)
-                entry_planes.append(
-                    pack_table_entries(v_cond, vr, split_tables)
-                )
-                active_planes.append(
-                    jnp.arange(capv, dtype=jnp.int32)[None, None, :]
-                    < counts_v[..., None]
-                )
 
             y_hat_slice = vals.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
@@ -531,30 +514,11 @@ class WACNN(nn.Module):
                 bins = lanes_to_plane(bins_l, n_y).reshape(b, yh, yw, sc)
                 vals = bins_to_values(bins, rows, tables)
             else:
-                p0c, centc, offc = split_consts
-                ts = rows_l.shape[-1]
-                capv = max(8, ts // 2)
-                p0_pos = map_rows_const(rows_l, p0c)
-                carry, bits = ans_decode_binary_plane(carry, p0_pos)
-                tidx, counts_v = rank_select(bits.astype(jnp.bool_), capv)
-                vr = select_by_index(rows_l, tidx)
-                act = (
-                    jnp.arange(capv, dtype=jnp.int32)[None, None, :]
-                    < counts_v[..., None]
+                from ..coding.device_ans import split_decode_plane
+
+                carry, vals_l = split_decode_plane(
+                    carry, rows_l, split_tables, split_consts
                 )
-                carry, v_cond = ans_decode_plane(
-                    carry, vr, split_tables, active=act
-                )
-                cb = map_rows_const(vr, centc)
-                vbin = v_cond + (v_cond >= cb).astype(jnp.int32)
-                vvals = jnp.where(act, vbin + map_rows_const(vr, offc), 0)
-                # place the k-th decoded value at the lane's k-th set bit
-                rank = jnp.cumsum(bits, axis=-1)  # (B, L, Ts) inclusive
-                onehot = (
-                    (rank[..., None] - 1)
-                    == jnp.arange(capv, dtype=jnp.int32)[None, None, None, :]
-                ).astype(jnp.int32) * bits[..., None]
-                vals_l = jnp.sum(onehot * vvals[..., None, :], axis=-1)
                 vals = lanes_to_plane(vals_l, n_y).reshape(b, yh, yw, sc)
             y_hat_slice = vals.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)

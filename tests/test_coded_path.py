@@ -107,6 +107,15 @@ def test_scalable_coded_roundtrip_bit_exact(scal_codec, x, quality):
     assert scal_codec.selftest_coded(x, quality=quality)
 
 
+@pytest.mark.parametrize("quality", [0, 1])
+def test_scalable_coded_split_roundtrip(scal_codec, x, quality):
+    scal_codec.coded_split = True
+    try:
+        assert scal_codec.selftest_coded(x, quality=quality)
+    finally:
+        scal_codec.coded_split = False
+
+
 def test_scalable_coded_xhat_valid(scal_codec, x):
     out = scal_codec.compress_coded(x, quality=1)
     assert len(out["shape"]) == 2  # base z + prog z spatial shapes
