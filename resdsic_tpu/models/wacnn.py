@@ -341,12 +341,8 @@ class WACNN(nn.Module):
             ans_encode_packed,
             bins_to_values,
             compact_words_dense,
-            map_rows_const,
-            pack_binary_entries,
             pack_table_entries,
             plane_to_lanes,
-            rank_select,
-            select_by_index,
             values_to_bins,
         )
 
@@ -467,15 +463,11 @@ class WACNN(nn.Module):
         the stepped decode path relies on, codec.py determinism rule).
         """
         from ..coding.device_ans import (
-            ans_decode_binary_plane,
             ans_decode_init,
             ans_decode_plane,
             bins_to_values,
             lanes_to_plane,
-            map_rows_const,
             plane_to_lanes,
-            rank_select,
-            select_by_index,
         )
 
         split = split_tables is not None
