@@ -641,6 +641,10 @@ def map_rows_const(rows: jax.Array, consts: Tuple[int, ...]) -> jax.Array:
     A static select chain over the (64-ish) row ids — constants fold into
     the fused elementwise op, so this is pure VPU work where a gather
     would pay the ~13 ns/element throughput floor.
+
+    Rows outside [0, len(consts)) silently map to consts[0]; the split
+    planes only ever carry GC rows (gc_build_indexes output, [0, 64)),
+    which the split-table builders size consts to cover exactly.
     """
     acc = jnp.full(rows.shape, int(consts[0]), jnp.int32)
     for r in range(1, len(consts)):
