@@ -20,7 +20,34 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.pallas_win_attention import (
+    pallas_attention_enabled,
+    window_attention as fused_window_attention,
+    xla_window_attention,
+)
 from .conv import Conv, conv1x1, conv3x3, gelu
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree ({kernel, bias}) and init,
+    so the fused kernel and the XLA path share one checkpoint layout."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+            if self.use_bias
+            else jnp.zeros((self.features,), jnp.float32)
+        )
+        return kernel, bias
 
 
 def window_partition(x: jax.Array, window_size: int) -> jax.Array:
@@ -85,13 +112,17 @@ class WindowAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_pallas: Optional[bool] = None  # None = auto (TPU backend)
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        num_win_per_image: Optional[int] = None,
+    ) -> jax.Array:
         b_, n, c = x.shape
         nh = self.num_heads
-        hd = c // nh
-        scale = hd**-0.5
         ws = self.window_size
 
         bias_table = self.param(
@@ -101,34 +132,29 @@ class WindowAttention(nn.Module):
             jnp.float32,
         )
         rel_index = _relative_position_index(ws, ws)  # static numpy
-
-        qkv = nn.Dense(
-            c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-            param_dtype=jnp.float32, name="qkv",
-        )(x)
-        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
-
-        attn = jnp.einsum(
-            "bhnd,bhmd->bhnm", q * scale, k,
-            preferred_element_type=jnp.float32,
-        )
         rel_bias = bias_table[rel_index.reshape(-1)].reshape(n, n, nh)
-        attn = attn + rel_bias.transpose(2, 0, 1)[None]
+        rel_bias = rel_bias.transpose(2, 0, 1)  # (nh, N, N)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, nh, n, n) + mask[None, :, None]
-            attn = attn.reshape(b_, nh, n, n)
+        wqkv, bqkv = _DenseParams(
+            c * 3, use_bias=self.qkv_bias, name="qkv"
+        )(c)
+        wproj, bproj = _DenseParams(c, name="proj")(c)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum(
-            "bhnm,bhmd->bhnd", attn, v, preferred_element_type=self.dtype
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = pallas_attention_enabled()
+        if mask is not None and num_win_per_image is None:
+            num_win_per_image = mask.shape[0]
+
+        if use_pallas and num_win_per_image is not None:
+            return fused_window_attention(
+                x, wqkv, bqkv, wproj, bproj, rel_bias, mask,
+                nh, num_win_per_image,
+            )
+        return xla_window_attention(
+            x, wqkv, bqkv, wproj, bproj, rel_bias, mask,
+            num_heads=nh, compute_dtype=self.dtype,
         )
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(
-            c, dtype=self.dtype, param_dtype=jnp.float32, name="proj"
-        )(out)
 
 
 class WinBasedAttention(nn.Module):
@@ -164,7 +190,11 @@ class WinBasedAttention(nn.Module):
             num_heads=self.num_heads,
             dtype=self.dtype,
             name="attn",
-        )(windows, mask=mask)
+        )(
+            windows,
+            mask=mask,
+            num_win_per_image=(h // self.window_size) * (w // self.window_size),
+        )
         shifted = window_reverse(attn_windows, self.window_size, h, w)
 
         if self.shift_size > 0:

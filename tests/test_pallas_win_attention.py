@@ -1,0 +1,122 @@
+"""Fused Pallas window attention vs the XLA einsum chain (interpret mode).
+
+Covers W-MSA (no mask), SW-MSA (shift mask), the custom-VJP gradient, and
+the module-level wiring (WindowAttention use_pallas=True must equal
+use_pallas=False bit-for-bit up to kernel numerics).
+
+TPU-measured numbers live in the kernel docstring
+(resdsic_tpu/ops/pallas_win_attention.py); A/B driver: tools/ab_win_attention.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from resdsic_tpu.nn.attention import (
+    _relative_position_index,
+    make_shift_attn_mask,
+    window_partition,
+)
+from resdsic_tpu.ops.pallas_win_attention import (
+    fused_window_attention,
+    window_attention,
+    xla_window_attention,
+)
+
+
+def _case(B=1, H=8, W=16, C=16, ws=4, shift=0, nh=2, seed=0):
+    rng = np.random.default_rng(seed)
+    n = ws * ws
+    nw = (H // ws) * (W // ws)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * C) * 0.01, jnp.float32)
+    wproj = jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.float32)
+    bproj = jnp.asarray(rng.standard_normal(C) * 0.01, jnp.float32)
+    table = jnp.asarray(
+        rng.standard_normal(((2 * ws - 1) ** 2, nh)) * 0.02, jnp.float32
+    )
+    rel_bias = (
+        table[_relative_position_index(ws, ws).reshape(-1)]
+        .reshape(n, n, nh)
+        .transpose(2, 0, 1)
+    )
+    mask = (
+        jnp.asarray(make_shift_attn_mask(H, W, ws, shift)) if shift else None
+    )
+    xs = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+    xw = window_partition(xs, ws)
+    return xw, wqkv, bqkv, wproj, bproj, rel_bias, mask, nh, nw
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_kernel_matches_xla(shift):
+    xw, wqkv, bqkv, wproj, bproj, rel_bias, mask, nh, nw = _case(shift=shift)
+    a = xla_window_attention(
+        xw, wqkv, bqkv, wproj, bproj, rel_bias, mask, num_heads=nh
+    )
+    b = fused_window_attention(
+        xw, wqkv, bqkv, wproj, bproj, rel_bias, mask,
+        num_heads=nh, num_win_per_image=nw, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_custom_vjp_gradient_matches_xla():
+    xw, wqkv, bqkv, wproj, bproj, rel_bias, mask, nh, nw = _case(shift=2)
+
+    def loss_fused(xw_, wqkv_, wproj_, rb_):
+        out = window_attention(xw_, wqkv_, bqkv, wproj_, bproj, rb_, mask,
+                               nh, nw, True)
+        return jnp.sum(out * out)
+
+    def loss_xla(xw_, wqkv_, wproj_, rb_):
+        out = xla_window_attention(xw_, wqkv_, bqkv, wproj_, bproj, rb_,
+                                   mask, num_heads=nh)
+        return jnp.sum(out * out)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(xw, wqkv, wproj, rel_bias)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(xw, wqkv, wproj, rel_bias)
+    for a, b in zip(g_f, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-5)
+
+
+def test_module_pallas_path_matches_xla_path():
+    import os
+
+    from resdsic_tpu.nn.attention import WinBasedAttention
+
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 8, 16, 16)), jnp.float32
+    )
+    mod = WinBasedAttention(dim=16, num_heads=2, window_size=4, shift_size=2)
+    params = mod.init(jax.random.key(0), x)
+    ref = mod.apply(params, x)
+
+    os.environ["RESDSIC_PALLAS_ATTN"] = "1"
+    try:
+        # interpret=False would require a real TPU; route through interpret
+        # by monkeypatching the fused entry's default
+        import resdsic_tpu.ops.pallas_win_attention as pwa
+
+        orig = pwa.fused_window_attention
+
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return orig(*args, **kw)
+
+        pwa.fused_window_attention = interp
+        try:
+            mod_p = WinBasedAttention(
+                dim=16, num_heads=2, window_size=4, shift_size=2
+            )
+            out = mod_p.apply(params, x)
+        finally:
+            pwa.fused_window_attention = orig
+    finally:
+        del os.environ["RESDSIC_PALLAS_ATTN"]
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=2e-5,
+                               atol=2e-6)
