@@ -547,15 +547,23 @@ def split_encode_plane(
 ):
     """Encode-side significance split of one lane-layout symbol plane.
 
-    Returns (entry_planes, active_planes, coerced_vals_l, n_overflow):
-    a pure-ALU binary significance plane over every position plus a
-    dense per-lane value plane holding only the nonzero residuals
+    Returns (entry_planes, active_planes, coerced_vals_l, n_overflow,
+    n_bad_rows): a pure-ALU binary significance plane over every position
+    plus a dense per-lane value plane holding only the nonzero residuals
     (center-removed conditional bins). Nonzeros past the per-lane cap
-    are coerced to zero on both sides (n_overflow counts them).
+    are coerced to zero on both sides (n_overflow counts them — the codec
+    driver falls back to a lossless path when nonzero, policy
+    `on_coding_loss`). n_bad_rows counts row ids outside the split-const
+    domain [0, len(p0c)) — map_rows_const silently maps those to
+    consts[0], so a nonzero count flags an internal invariant violation
+    (only GC rows < 64 may reach a split plane).
     """
     p0c, centc, _ = consts
     ts = rows_l.shape[-1]
     capv = max(8, ts // 2)
+    n_bad_rows = jnp.sum(
+        ((rows_l < 0) | (rows_l >= len(p0c))).astype(jnp.int32)
+    )
     sig = vals_l != 0
     rank = jnp.cumsum(sig.astype(jnp.int32), axis=-1)
     keep = sig & (rank <= capv)
@@ -580,6 +588,7 @@ def split_encode_plane(
         [jnp.ones_like(keep), act_val],
         vals_coerced,
         n_overflow,
+        n_bad_rows,
     )
 
 

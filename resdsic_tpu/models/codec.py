@@ -4,20 +4,50 @@ This is the runtime layer that replaces the reference's eager
 compress()/decompress() methods (cnn.py:217-342): pure jitted device
 programs compute symbols/params; the native C++ coder turns them into bytes.
 
-Bitstream container format (per image):
-    strings = [y_strings, z_strings]   (lists over the batch)
-matching the reference's {"strings": [...], "shape": z_spatial} contract.
+Bitstream container formats:
+  * host-coder paths: strings = [y_strings, z_strings] (lists over the
+    batch) of raw CompressAI-format rANS bytes, matching the reference's
+    {"strings": [...], "shape": z_spatial} contract (cnn.py:217-342).
+    These streams carry NO extra framing — byte-parity with the
+    reference is the point.
+  * device-coded paths: one self-describing blob per image —
+        [u8 magic 0xD5][u8 version][u8 flags][u8 0][u16 lanes][u16 0]
+        [f32 quality][lanes x u32 states][lanes x u32 counts][u16 words…]
+    (little-endian; flags bit0 = significance-split, bit1 = has-prog).
+    decompress_coded validates the header and decodes with the header's
+    own lanes/split/quality, so a mismatched decoder config raises
+    instead of desyncing (ref analogue: the 2-/4-part self-describing
+    strings of independent.py:611-627).
 """
 
 from __future__ import annotations
 
 import functools
+import struct
+import warnings
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class CodedStreamError(RuntimeError):
+    """Raised when a device-coded container fails validation: bad
+    magic/version, header/config mismatch, or the decoded stream does not
+    drain (lane states / word pointers off — a desynced or corrupt blob)."""
+
+
+class CodingLossError(RuntimeError):
+    """Raised (on_coding_loss="raise") when the device encoder would lose
+    information: symbols clamped to the CDF support or split-cap overflow
+    — cases the reference bypass-codes losslessly (SURVEY §2.7)."""
+
+
+_BLOB_MAGIC = 0xD5
+_BLOB_VERSION = 1
+_BLOB_HEADER = struct.Struct("<BBBBHHf")  # magic, ver, flags, 0, lanes, 0, q
 
 # Shared pool for per-image rANS calls: the ctypes calls release the GIL, so
 # the 16-ish independent streams of a batch encode/decode in parallel.
@@ -37,6 +67,20 @@ class WACNNCodec:
         out = codec.compress(x)             # {"strings": [...], "shape": ...}
         rec = codec.decompress(out["strings"], out["shape"])
     """
+
+    #: What compress_coded does when the device coder would lose
+    #: information (support clamp or split-cap overflow — the reference
+    #: bypass-codes both losslessly):
+    #:   "fallback" (default): transparently re-encode via the lossless
+    #:       host-coder path; decompress_coded auto-detects the container.
+    #:   "raise": raise CodingLossError.
+    #:   "warn": keep the lossy blob and warn (round-2 behavior).
+    on_coding_loss: str = "fallback"
+
+    #: Verify the drained-stream invariant after every coded decode (the
+    #: cost is one tiny device scalar fetch; a desynced stream raises
+    #: CodedStreamError instead of returning corrupt output).
+    decode_check: bool = True
 
     def __init__(self, model, params):
         self.model = model
@@ -100,15 +144,12 @@ class WACNNCodec:
 
     @staticmethod
     def _warn_saturation(out: Dict[str, Any]) -> None:
-        """Surface int8 symbol-clamp saturation (VERDICT: the reference
-        bypass-codes outliers losslessly; our int8 transfer path clamps, which
-        is lossless only at trained-model symbol statistics — warn loudly when
-        that assumption is violated, e.g. untrained nets or adversarial
-        inputs)."""
+        """Surface int8 symbol-clamp saturation on the HOST-coder encode
+        path (encode_device clamps residuals to int8 for the d2h transfer;
+        the reference bypass-codes outliers losslessly — warn loudly when
+        trained-model statistics are violated)."""
         n = int(np.asarray(out.get("n_saturated", 0)))
         if n:
-            import warnings
-
             warnings.warn(
                 f"{n} y symbols saturated the int8 clamp and will be "
                 "reconstructed incorrectly — the codec's narrow-transfer "
@@ -116,6 +157,136 @@ class WACNNCodec:
                 "(|y - mu| <= 127)",
                 RuntimeWarning,
                 stacklevel=3,
+            )
+
+    def _coding_loss(self, out: Dict[str, Any]) -> int:
+        """Inspect the device encoder's loss counters; returns the number
+        of lost symbols (policy dispatch happens in the caller so
+        'fallback' can re-encode). n_bad_rows is an internal invariant,
+        never a policy matter — it always raises."""
+        n_bad = int(np.asarray(out.get("n_bad_rows", 0)))
+        if n_bad:
+            raise RuntimeError(
+                f"{n_bad} split-plane rows fell outside the split-const "
+                "domain [0, 64) — internal invariant violation in the "
+                "significance-split coder (map_rows_const would silently "
+                "mis-map them)"
+            )
+        n_clamp = int(np.asarray(out.get("n_clamped", 0)))
+        n_over = int(np.asarray(out.get("n_overflow", 0)))
+        n = n_clamp + n_over
+        if not n:
+            return 0
+        detail = []
+        if n_clamp:
+            detail.append(
+                f"{n_clamp} symbols clamped to the CDF support "
+                "(the reference bypass-codes these losslessly)"
+            )
+        if n_over:
+            detail.append(
+                f"{n_over} nonzero residuals past the significance-split "
+                "per-lane cap coerced to zero"
+            )
+        msg = "device-coded encoder would lose information: " + "; ".join(
+            detail
+        )
+        if self.on_coding_loss == "raise":
+            raise CodingLossError(msg)
+        warnings.warn(
+            msg
+            + (
+                " — falling back to the lossless host-coder path"
+                if self.on_coding_loss == "fallback"
+                else " — output will be reconstructed incorrectly"
+            ),
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return n
+
+    # -- device-coded container framing --
+
+    def _pack_blob(
+        self,
+        states_row: np.ndarray,
+        counts_row: np.ndarray,
+        words: np.ndarray,
+        split: bool,
+        q: float = 0.0,
+        has_prog: bool = False,
+    ) -> bytes:
+        flags = (1 if split else 0) | (2 if has_prog else 0)
+        return (
+            _BLOB_HEADER.pack(
+                _BLOB_MAGIC, _BLOB_VERSION, flags, 0,
+                states_row.shape[0], 0, float(q),
+            )
+            + states_row.astype("<u4").tobytes()
+            + counts_row.astype("<u4").tobytes()
+            + words.astype("<u2").tobytes()
+        )
+
+    @staticmethod
+    def _parse_blob(blob: bytes) -> Dict[str, Any]:
+        hs = _BLOB_HEADER.size
+        if len(blob) < hs:
+            raise CodedStreamError(
+                f"blob too short for a device-ans header ({len(blob)} bytes)"
+            )
+        magic, ver, flags, _, lanes, _, q = _BLOB_HEADER.unpack(blob[:hs])
+        if magic != _BLOB_MAGIC:
+            raise CodedStreamError(
+                f"bad magic 0x{magic:02X} (expected 0x{_BLOB_MAGIC:02X}) — "
+                "not a device-ans blob (host-coder streams decode via "
+                "decompress())"
+            )
+        if ver != _BLOB_VERSION:
+            raise CodedStreamError(
+                f"unsupported device-ans container version {ver} "
+                f"(this build reads version {_BLOB_VERSION})"
+            )
+        if len(blob) < hs + 8 * lanes:
+            raise CodedStreamError("blob truncated before the lane header")
+        return {
+            "split": bool(flags & 1),
+            "has_prog": bool(flags & 2),
+            "lanes": int(lanes),
+            "q": float(q),
+            "states": np.frombuffer(blob, "<u4", lanes, offset=hs),
+            "counts": np.frombuffer(blob, "<u4", lanes, offset=hs + 4 * lanes),
+            "words": np.frombuffer(blob, "<u2", offset=hs + 8 * lanes),
+        }
+
+    @classmethod
+    def _parse_blobs(cls, blobs: Sequence[bytes]) -> Dict[str, Any]:
+        """Parse a batch of blobs; headers must agree across the batch."""
+        parsed = [cls._parse_blob(s) for s in blobs]
+        h0 = {k: parsed[0][k] for k in ("split", "has_prog", "lanes", "q")}
+        for p in parsed[1:]:
+            for k, v in h0.items():
+                if p[k] != v:
+                    raise CodedStreamError(
+                        f"inconsistent {k} across the batch's blob headers"
+                    )
+        L = h0["lanes"]
+        b = len(parsed)
+        states = np.stack([p["states"] for p in parsed]).astype(np.uint32)
+        counts = np.stack([p["counts"] for p in parsed]).astype(np.int32)
+        flat = (
+            np.concatenate([p["words"] for p in parsed])
+            if b
+            else np.zeros(0, np.uint16)
+        )
+        return {**h0, "states": states, "counts": counts, "flat": flat,
+                "batch": b, "L": L}
+
+    def _check_drained(self, drained) -> None:
+        if self.decode_check and not bool(np.asarray(drained)):
+            raise CodedStreamError(
+                "decoded stream did not drain (lane states/pointers off) — "
+                "corrupt blob, mismatched decoder build, or encoder/decoder "
+                "compilation divergence; output would be garbage"
             )
 
     @staticmethod
@@ -218,27 +389,35 @@ class WACNNCodec:
     def compress_coded(self, x: jax.Array, return_debug: bool = False) -> Dict[str, Any]:
         """One-dispatch encoder with on-device entropy coding.
 
-        Container (per image): [lanes x u32 states][lanes x u32 counts]
-        [u16 words...]; all little-endian. Not CompressAI-format — the
-        interleaved-lane stream is this framework's own device format
-        (the host-coder compress() keeps reference compatibility).
+        Emits self-describing per-image blobs (see module docstring). Not
+        CompressAI-format — the interleaved-lane stream is this
+        framework's own device format (the host-coder compress() keeps
+        reference compatibility). If the device coder would lose
+        information, the on_coding_loss policy applies (default:
+        transparent fallback to the lossless host coder — the returned
+        container is then reference-format and decompress_coded
+        auto-detects it).
         """
         self._check_updated()
         L = self.coded_lanes
+        split = self.coded_split
         skw = (
             dict(
                 split_tables=self.split_tables,
                 split_consts=self._split_consts,
             )
-            if self.coded_split
+            if split
             else {}
         )
         out = self._encode_coded_fn(
             self.params, x, self.dev_tables, lanes=L, **skw
         )
-        for k in ("counts", "states"):
+        for k in ("counts", "states", "n_clamped", "n_overflow", "n_bad_rows"):
             out[k].copy_to_host_async()
-        self._warn_saturation(out)
+        if self._coding_loss(out) and self.on_coding_loss == "fallback":
+            result = self.compress(x, return_debug=return_debug)
+            result["format"] = "host"
+            return result
         counts = np.asarray(out["counts"]).astype(np.uint32)
         states = np.asarray(out["states"]).astype(np.uint32)
         cap = out["words"].shape[1]
@@ -246,8 +425,6 @@ class WACNNCodec:
         if cmax > cap:
             # rare: a lane overflowed the default word cap — re-dispatch at
             # the next power of two (recompiles once per new cap)
-            import warnings
-
             cap2 = 1 << (cmax - 1).bit_length()
             warnings.warn(
                 f"encode_coded lane overflow ({cmax} > {cap}); "
@@ -271,13 +448,11 @@ class WACNNCodec:
         strings = []
         for i in range(b):
             rows = dense[i * L : (i + 1) * L]
-            lane_words = [
-                rows[j, : counts[i, j]] for j in range(L)
-            ]
+            lane_words = np.concatenate(
+                [rows[j, : counts[i, j]] for j in range(L)]
+            )
             strings.append(
-                states[i].astype("<u4").tobytes()
-                + counts[i].astype("<u4").tobytes()
-                + np.concatenate(lane_words).astype("<u2").tobytes()
+                self._pack_blob(states[i], counts[i], lane_words, split)
             )
         zh, zw = out["y_hat"].shape[1] // 4, out["y_hat"].shape[2] // 4
         result: Dict[str, Any] = {
@@ -290,23 +465,20 @@ class WACNNCodec:
         return result
 
     def decompress_coded(self, strings, shape) -> Dict[str, Any]:
-        """One-dispatch decoder: device rANS + slice loop + synthesis."""
+        """One-dispatch decoder: device rANS + slice loop + synthesis.
+
+        Self-configures from the blob headers (lanes / split mode); a
+        host-format container (on_coding_loss fallback) is auto-detected
+        and routed through the lossless host decode. After decoding, the
+        drained-stream invariant is verified (decode_check) so a desynced
+        stream raises CodedStreamError instead of returning garbage.
+        """
         self._check_updated()
-        L = self.coded_lanes
-        blobs = strings[0]
-        b = len(blobs)
-        states = np.zeros((b, L), np.uint32)
-        counts = np.zeros((b, L), np.int32)
-        words_parts = []
-        for i, s in enumerate(blobs):
-            states[i] = np.frombuffer(s, "<u4", L)
-            counts[i] = np.frombuffer(s, "<u4", L, offset=4 * L)
-            words_parts.append(np.frombuffer(s, "<u2", offset=8 * L))
-        flat = (
-            np.concatenate(words_parts)
-            if words_parts
-            else np.zeros(0, np.uint16)
-        )
+        if len(strings) >= 2:  # host-coder fallback container
+            return self.decompress(strings, shape, return_debug=True)
+        hdr = self._parse_blobs(strings[0])
+        b, L = hdr["batch"], hdr["L"]
+        counts, states, flat = hdr["counts"], hdr["states"], hdr["flat"]
         padded = np.zeros(self._bucket(len(flat)), np.uint16)
         padded[: len(flat)] = flat
 
@@ -316,10 +488,10 @@ class WACNNCodec:
                 split_tables=self.split_tables,
                 split_consts=self._split_consts,
             )
-            if self.coded_split
+            if hdr["split"]
             else {}
         )
-        x_hat, y_hat = self._decode_coded_fn(
+        x_hat, y_hat, drained = self._decode_coded_fn(
             self.params,
             jnp.asarray(padded),
             jnp.asarray(counts),
@@ -330,6 +502,7 @@ class WACNNCodec:
             cap=self._bucket(int(counts.max()) if counts.size else 1, lo=32),
             **skw,
         )
+        self._check_drained(drained)
         return {"x_hat": x_hat, "y_hat": y_hat}
 
     def selftest_coded(self, x: jax.Array) -> bool:
@@ -609,33 +782,39 @@ class ScalableCodec(WACNNCodec):
     ) -> Dict[str, Any]:
         """One-dispatch scalable encoder with on-device entropy coding.
 
-        Single per-image blob (states+counts header, then words) covering
-        [z, z_prog?, y_i / y_prog_i ...] — the scalable host path's 4-part
-        stream collapses into one chained lane set. Not reference-format."""
+        Single self-describing per-image blob (header, states+counts,
+        then words) covering [z, z_prog?, y_i / y_prog_i ...] — the
+        scalable host path's 4-part stream collapses into one chained
+        lane set. Not reference-format. The on_coding_loss policy applies
+        as in WACNNCodec.compress_coded."""
         self._check_updated()
         L = self.coded_lanes
+        split = self.coded_split
         q = self._normalize_quality(quality)
         skw = (
             dict(
                 split_tables=self.split_tables,
                 split_consts=self._split_consts,
             )
-            if self.coded_split
+            if split
             else {}
         )
         out = self._encode_coded_fn(
             self.params, x, self.dev_tables, q=q, lanes=L, **skw
         )
-        for k in ("counts", "states"):
+        for k in ("counts", "states", "n_clamped", "n_overflow", "n_bad_rows"):
             out[k].copy_to_host_async()
-        self._warn_saturation(out)
+        if self._coding_loss(out) and self.on_coding_loss == "fallback":
+            result = self.compress(
+                x, quality=quality, return_debug=return_debug
+            )
+            result["format"] = "host"
+            return result
         counts = np.asarray(out["counts"]).astype(np.uint32)
         states = np.asarray(out["states"]).astype(np.uint32)
         cap = out["words"].shape[1]
         cmax = int(counts.max()) if counts.size else 0
         if cmax > cap:
-            import warnings
-
             cap2 = 1 << (cmax - 1).bit_length()
             warnings.warn(
                 f"encode_coded lane overflow ({cmax} > {cap}); "
@@ -657,17 +836,21 @@ class ScalableCodec(WACNNCodec):
         )
 
         b = counts.shape[0]
+        with_prog = out.get("zp_shape") is not None
         strings = []
         for i in range(b):
             rows = dense[i * L : (i + 1) * L]
-            lane_words = [rows[j, : counts[i, j]] for j in range(L)]
+            lane_words = np.concatenate(
+                [rows[j, : counts[i, j]] for j in range(L)]
+            )
             strings.append(
-                states[i].astype("<u4").tobytes()
-                + counts[i].astype("<u4").tobytes()
-                + np.concatenate(lane_words).astype("<u2").tobytes()
+                self._pack_blob(
+                    states[i], counts[i], lane_words, split,
+                    q=q, has_prog=with_prog,
+                )
             )
         shape = [tuple(out["z_shape"].shape)]
-        if out.get("zp_shape") is not None:
+        if with_prog:
             shape.append(tuple(out["zp_shape"].shape))
         result: Dict[str, Any] = {
             "strings": [strings],
@@ -678,24 +861,43 @@ class ScalableCodec(WACNNCodec):
             result["y_hat"] = out["y_hat"]
         return result
 
-    def decompress_coded(self, strings, shape, quality=0.0) -> Dict[str, Any]:
+    def decompress_coded(self, strings, shape, quality=None) -> Dict[str, Any]:
+        """Self-configuring scalable coded decode.
+
+        quality=None (default) decodes at the blob header's own quality;
+        passing a quality cross-checks it against the header and raises
+        CodedStreamError on mismatch (a wrong q shifts the plane sequence
+        and would otherwise silently desync the stream)."""
         self._check_updated()
-        L = self.coded_lanes
-        q = self._normalize_quality(quality)
-        blobs = strings[0]
-        b = len(blobs)
-        states = np.zeros((b, L), np.uint32)
-        counts = np.zeros((b, L), np.int32)
-        words_parts = []
-        for i, s in enumerate(blobs):
-            states[i] = np.frombuffer(s, "<u4", L)
-            counts[i] = np.frombuffer(s, "<u4", L, offset=4 * L)
-            words_parts.append(np.frombuffer(s, "<u2", offset=8 * L))
-        flat = (
-            np.concatenate(words_parts)
-            if words_parts
-            else np.zeros(0, np.uint16)
-        )
+        if len(strings) >= 2:  # host-coder fallback container
+            if quality is None:
+                if len(strings) > 2:
+                    raise ValueError(
+                        "host-format scalable container (on_coding_loss "
+                        "fallback) carries no quality — pass quality= "
+                        "explicitly (reference decompress contract)"
+                    )
+                quality = 0.0  # 2-part container is base-only by contract
+            return self.decompress(
+                strings, shape, quality=quality, return_debug=True
+            )
+        hdr = self._parse_blobs(strings[0])
+        q_hdr = hdr["q"]
+        q_hdr = int(q_hdr) if float(q_hdr).is_integer() else q_hdr
+        if quality is not None:
+            q_req = self._normalize_quality(quality)
+            if np.float32(q_req) != np.float32(q_hdr):
+                raise CodedStreamError(
+                    f"requested quality {q_req} does not match the blob "
+                    f"header's quality {q_hdr} — decoding would desync"
+                )
+        q = q_hdr
+        if hdr["has_prog"] != (q != 0):
+            raise CodedStreamError(
+                "blob header's has-prog flag contradicts its quality"
+            )
+        b, L = hdr["batch"], hdr["L"]
+        counts, states, flat = hdr["counts"], hdr["states"], hdr["flat"]
         padded = np.zeros(self._bucket(len(flat)), np.uint16)
         padded[: len(flat)] = flat
 
@@ -714,10 +916,10 @@ class ScalableCodec(WACNNCodec):
                 split_tables=self.split_tables,
                 split_consts=self._split_consts,
             )
-            if self.coded_split
+            if hdr["split"]
             else {}
         )
-        x_hat, y_hat = self._decode_coded_fn(
+        x_hat, y_hat, drained = self._decode_coded_fn(
             self.params,
             jnp.asarray(padded),
             jnp.asarray(counts),
@@ -730,6 +932,7 @@ class ScalableCodec(WACNNCodec):
             cap=self._bucket(int(counts.max()) if counts.size else 1, lo=32),
             **skw,
         )
+        self._check_drained(drained)
         return {"x_hat": x_hat, "y_hat": y_hat}
 
     def selftest_coded(self, x: jax.Array, quality=0.0) -> bool:

@@ -601,7 +601,9 @@ class ResWACNNSharedEntropy(WACNN):
         latent_means = self._seq(self.h_mean_s, z_hat)
 
         entry_planes, active_planes = [], []
-        n_saturated = jnp.zeros((), jnp.int32)
+        n_clamped = jnp.zeros((), jnp.int32)
+        n_overflow = jnp.zeros((), jnp.int32)
+        n_bad_rows = jnp.zeros((), jnp.int32)
 
         def add_table_plane(bins_pl, rows_pl):
             e = pack_table_entries(
@@ -615,19 +617,20 @@ class ResWACNNSharedEntropy(WACNN):
         def add_y_plane(bins_pl, rows_pl, vals_pl):
             """Table-coded (plain) or significance-split y plane; returns
             the (possibly coerced) reconstruction values."""
-            nonlocal n_saturated
+            nonlocal n_overflow, n_bad_rows
             if not split:
                 add_table_plane(bins_pl, rows_pl)
                 return vals_pl
             rows_l = plane_to_lanes(rows_pl.reshape(b, -1), lanes)
             bins_l = plane_to_lanes(bins_pl.reshape(b, -1), lanes)
             vals_l = plane_to_lanes(vals_pl.reshape(b, -1), lanes)
-            entries, actives, coerced, n_over = split_encode_plane(
+            entries, actives, coerced, n_over, n_bad = split_encode_plane(
                 rows_l, bins_l, vals_l, split_tables, split_consts
             )
             entry_planes.extend(entries)
             active_planes.extend(actives)
-            n_saturated = n_saturated + n_over
+            n_overflow = n_overflow + n_over
+            n_bad_rows = n_bad_rows + n_bad
             return lanes_to_plane(
                 coerced, vals_pl.reshape(b, -1).shape[1]
             ).reshape(vals_pl.shape)
@@ -673,7 +676,7 @@ class ResWACNNSharedEntropy(WACNN):
             raw = quantize_symbols(y_slice, mu)
             bins = values_to_bins(raw, rows, tables)
             vals = bins_to_values(bins, rows, tables)
-            n_saturated = n_saturated + jnp.sum((raw != vals).astype(jnp.int32))
+            n_clamped = n_clamped + jnp.sum((raw != vals).astype(jnp.int32))
             vals = add_y_plane(bins, rows, vals)
             y_hat_slice = vals.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
@@ -694,7 +697,7 @@ class ResWACNNSharedEntropy(WACNN):
                     raw_p = quantize_symbols(yp_slice, mu_p)
                 bins_p = values_to_bins(raw_p, rows_p, tables)
                 vals_p = bins_to_values(bins_p, rows_p, tables)
-                n_saturated = n_saturated + jnp.sum(
+                n_clamped = n_clamped + jnp.sum(
                     (raw_p != vals_p).astype(jnp.int32)
                 )
                 vals_p = add_y_plane(bins_p, rows_p, vals_p)
@@ -723,7 +726,9 @@ class ResWACNNSharedEntropy(WACNN):
             "words": dense.astype(jnp.uint16),
             "counts": counts,
             "states": states,
-            "n_saturated": n_saturated,
+            "n_clamped": n_clamped,
+            "n_overflow": n_overflow,
+            "n_bad_rows": n_bad_rows,
             "y_hat": y_hat,
             "z_shape": jnp.zeros(z.shape[1:3], jnp.int8),  # shape carrier
             "zp_shape": (
@@ -744,7 +749,7 @@ class ResWACNNSharedEntropy(WACNN):
         cap: int = 128,  # static >= counts.max(); driver buckets it
         split_tables=None,
         split_consts=None,
-    ) -> Tuple[jax.Array, jax.Array]:
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         from ...coding.device_ans import (
             ans_decode_init,
             ans_decode_plane,
@@ -846,7 +851,15 @@ class ResWACNNSharedEntropy(WACNN):
         x_hat = jnp.clip(
             self._synthesize_q(y_hat, 0 if q == 0 else 1), 0.0, 1.0
         )
-        return x_hat, y_hat
+        # drained-stream invariant (checked by the codec driver): every
+        # lane's state must return to the encoder's initial state and every
+        # stored word must have been consumed — any ulp divergence between
+        # the encode/decode compilations desyncs the stream and trips this.
+        drained = jnp.logical_and(
+            jnp.all(carry.states == jnp.uint32(1 << 16)),
+            jnp.all(carry.ptrs == counts),
+        )
+        return x_hat, y_hat, drained
 
     def decode_begin_scalable(self, z_hat, z_hat_prog, q):
         """Fused: both hyper syntheses + mask + slice-0 params (both

@@ -335,7 +335,16 @@ class WACNN(nn.Module):
         plane]: the zero/nonzero decision is pure-ALU rANS, and only the
         sparse nonzero residuals pay the table-gather throughput floor.
         Nonzeros beyond the per-lane value cap are coerced to zero on
-        BOTH sides (counted in n_saturated).
+        BOTH sides (counted in n_overflow; the codec driver's
+        on_coding_loss policy falls back to the lossless host coder when
+        nonzero, so the coercion never silently corrupts served output).
+
+        Loss counters (all zero at trained-model statistics):
+          n_clamped:  symbols clamped to the row's CDF support
+                      (the reference bypass-codes these losslessly)
+          n_overflow: split-mode nonzeros coerced past the per-lane cap
+          n_bad_rows: split-plane rows outside the const domain
+                      (internal invariant violation — must stay 0)
         """
         from ..coding.device_ans import (
             ans_encode_packed,
@@ -379,7 +388,9 @@ class WACNN(nn.Module):
             )
         ]
         active_planes = [jnp.ones_like(entry_planes[0], jnp.bool_)]
-        n_saturated = jnp.zeros((), jnp.int32)
+        n_clamped = jnp.zeros((), jnp.int32)
+        n_overflow = jnp.zeros((), jnp.int32)
+        n_bad_rows = jnp.zeros((), jnp.int32)
         for i in range(self.num_slices):
             y_slice = y[..., i * sc : (i + 1) * sc]
             support = self._support(y_hat_slices)
@@ -390,7 +401,7 @@ class WACNN(nn.Module):
             raw = quantize_symbols(y_slice, mu)
             bins = values_to_bins(raw, rows, tables)
             vals = bins_to_values(bins, rows, tables)
-            n_saturated = n_saturated + jnp.sum((raw != vals).astype(jnp.int32))
+            n_clamped = n_clamped + jnp.sum((raw != vals).astype(jnp.int32))
 
             if not split:
                 entry_planes.append(
@@ -412,12 +423,15 @@ class WACNN(nn.Module):
                 rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
                 bins_l = plane_to_lanes(bins.reshape(b, -1), lanes)
                 vals_l = plane_to_lanes(vals.reshape(b, -1), lanes)
-                entries, actives, vals_coerced, n_over = split_encode_plane(
-                    rows_l, bins_l, vals_l, split_tables, split_consts
+                entries, actives, vals_coerced, n_over, n_bad = (
+                    split_encode_plane(
+                        rows_l, bins_l, vals_l, split_tables, split_consts
+                    )
                 )
                 entry_planes.extend(entries)
                 active_planes.extend(actives)
-                n_saturated = n_saturated + n_over
+                n_overflow = n_overflow + n_over
+                n_bad_rows = n_bad_rows + n_bad
                 # reconstruction uses the coerced (kept-only) values
                 vals = lanes_to_plane(
                     vals_coerced, vals.reshape(b, -1).shape[1]
@@ -438,7 +452,9 @@ class WACNN(nn.Module):
             "words": dense.astype(jnp.uint16),  # (B*lanes, cap) per-lane rows
             "counts": counts,  # (B, lanes) int32
             "states": states,  # (B, lanes) uint32
-            "n_saturated": n_saturated,
+            "n_clamped": n_clamped,
+            "n_overflow": n_overflow,
+            "n_bad_rows": n_bad_rows,
             "y_hat": jnp.concatenate(y_hat_slices, axis=-1),
         }
 
@@ -453,7 +469,7 @@ class WACNN(nn.Module):
         cap: int = 128,  # static >= counts.max(); driver buckets it
         split_tables=None,
         split_consts=None,
-    ) -> Tuple[jax.Array, jax.Array]:
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Single-dispatch full decode: device rANS + slice loop + g_s.
 
         Determinism note: this program recomputes latent means/scales and
@@ -517,7 +533,15 @@ class WACNN(nn.Module):
             y_hat_slices.append(y_hat_slice)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        return jnp.clip(self._synthesize_q(y_hat, 0), 0.0, 1.0), y_hat
+        # drained-stream invariant (checked by the codec driver): lane
+        # states must return to the encoder's init and every stored word
+        # must be consumed — a desynced stream (ulp divergence between the
+        # encode/decode compilations, corrupt blob, wrong config) trips it.
+        drained = jnp.logical_and(
+            jnp.all(carry.states == jnp.uint32(1 << 16)),
+            jnp.all(carry.ptrs == counts),
+        )
+        return jnp.clip(self._synthesize_q(y_hat, 0), 0.0, 1.0), y_hat, drained
 
     def decode_begin(self, z_hat: jax.Array):
         """Fused hyper-synthesis + slice-0 params (one dispatch)."""

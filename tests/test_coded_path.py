@@ -23,6 +23,11 @@ def codec():
     )
     c = WACNNCodec(m, p)
     c.update()
+    # untrained weights clamp a handful of symbols to the CDF support;
+    # these tests exercise the device blob format itself, so keep the
+    # round-2 "warn" policy — the loss-policy tests below cover "fallback"
+    # and "raise" explicitly.
+    c.on_coding_loss = "warn"
     return c
 
 
@@ -99,6 +104,7 @@ def scal_codec():
     )
     c = ScalableCodec(m, p)
     c.update()
+    c.on_coding_loss = "warn"  # see codec fixture comment
     return c
 
 
@@ -149,6 +155,7 @@ def test_icd_coded_roundtrip_with_coding_mask():
     )
     c = ScalableCodec(m, p)
     c.update()
+    c.on_coding_loss = "warn"
     assert m.uses_coding_mask
     xx = jax.random.uniform(jax.random.key(5), (2, 64, 64, 3), jnp.float32)
     assert c.selftest_coded(xx, quality=1)
@@ -213,6 +220,7 @@ def test_tcm_coded_roundtrip_bit_exact():
     )
     c = WACNNCodec(m, p)
     c.update()
+    c.on_coding_loss = "warn"
     xx = jax.random.uniform(jax.random.key(3), (1, 128, 128, 3), jnp.float32)
     assert c.selftest_coded(xx)
 
@@ -237,3 +245,118 @@ def test_coded_strings_are_per_image(codec, x):
     np.testing.assert_array_equal(
         np.asarray(swapped["y_hat"][1]), np.asarray(rec["y_hat"][0])
     )
+
+
+# ---------------------------------------------------------------------------
+# coding-loss policy + container validation (round-3: VERDICT #3/#4)
+# ---------------------------------------------------------------------------
+
+
+def test_coding_loss_fallback_is_lossless(codec, x):
+    """Untrained weights clamp symbols to the CDF support; the default
+    policy must transparently fall back to the lossless host coder and
+    the roundtrip must be bit-exact INCLUDING the outliers the device
+    path would have clamped."""
+    codec.on_coding_loss = "fallback"
+    try:
+        with pytest.warns(RuntimeWarning, match="falling back"):
+            out = codec.compress_coded(x, return_debug=True)
+        assert out["format"] == "host"
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+    finally:
+        codec.on_coding_loss = "warn"
+
+
+def test_coding_loss_raise(codec, x):
+    from resdsic_tpu.models.codec import CodingLossError
+
+    codec.on_coding_loss = "raise"
+    try:
+        with pytest.raises(CodingLossError, match="clamped"):
+            codec.compress_coded(x)
+    finally:
+        codec.on_coding_loss = "warn"
+
+
+def test_blob_header_roundtrip(codec, x):
+    """Device blobs self-describe lanes/split; decode works even when the
+    codec's config was changed after encoding."""
+    out = codec.compress_coded(x)
+    assert out["format"] == "device-ans"
+    ref = codec.decompress_coded(out["strings"], out["shape"])
+    old = codec.coded_lanes
+    codec.coded_lanes = 64  # wrong config; header must win
+    try:
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+    finally:
+        codec.coded_lanes = old
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(ref["y_hat"])
+    )
+
+
+def test_blob_header_validation(codec, x):
+    from resdsic_tpu.models.codec import CodedStreamError
+
+    out = codec.compress_coded(x)
+    blob = out["strings"][0][0]
+    bad_magic = b"\x00" + blob[1:]
+    with pytest.raises(CodedStreamError, match="magic"):
+        codec.decompress_coded([[bad_magic]], out["shape"])
+    bad_ver = blob[:1] + b"\x7f" + blob[2:]
+    with pytest.raises(CodedStreamError, match="version"):
+        codec.decompress_coded([[bad_ver]], out["shape"])
+    with pytest.raises(CodedStreamError, match="short|truncated"):
+        codec.decompress_coded([[blob[:6]]], out["shape"])
+
+
+def test_drained_stream_check_catches_corruption(codec, x):
+    """Flipping one payload word desyncs the stream; the decoder must
+    raise instead of returning corrupt output (drained-stream check)."""
+    from resdsic_tpu.models.codec import CodedStreamError
+
+    out = codec.compress_coded(x)
+    blob = bytearray(out["strings"][0][0])
+    mid = len(blob) - 2  # a late payload word (header untouched)
+    blob[mid] ^= 0xFF
+    with pytest.raises(CodedStreamError, match="drain"):
+        codec.decompress_coded([[bytes(blob)]], out["shape"])
+
+
+def test_scalable_quality_from_header(scal_codec, x):
+    """decompress_coded with quality=None decodes at the header's q."""
+    out = scal_codec.compress_coded(x, quality=1)
+    rec = scal_codec.decompress_coded(out["strings"], out["shape"])
+    ref = scal_codec.decompress_coded(out["strings"], out["shape"], quality=1)
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(ref["y_hat"])
+    )
+
+
+def test_scalable_quality_mismatch_raises(scal_codec, x):
+    from resdsic_tpu.models.codec import CodedStreamError
+
+    out = scal_codec.compress_coded(x, quality=1)
+    with pytest.raises(CodedStreamError, match="quality"):
+        scal_codec.decompress_coded(out["strings"], out["shape"], quality=0)
+
+
+def test_coding_loss_fallback_split_mode(codec, x):
+    """Significance-split mode with untrained stats can both clamp and
+    overflow the per-lane cap; fallback must stay lossless."""
+    codec.on_coding_loss = "fallback"
+    codec.coded_split = True
+    try:
+        with pytest.warns(RuntimeWarning, match="falling back"):
+            out = codec.compress_coded(x, return_debug=True)
+        assert out["format"] == "host"
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+    finally:
+        codec.coded_split = False
+        codec.on_coding_loss = "warn"
