@@ -941,6 +941,15 @@ class ScalableCodec(WACNNCodec):
         return bool(jnp.all(out["y_hat"] == rec["y_hat"]))
 
     def _normalize_quality(self, quality):
+        """Lambda -> level-index mapping, in exactly one place.
+
+        point-based-std consumes the RAW quality as a quantile fraction
+        (extract_mask docstring; ref shared.py:197), so index
+        normalization must NOT apply — a lambda like 0.065 would
+        otherwise arrive as level index 1 and select quantile 0.1
+        instead of 0.0065."""
+        if getattr(self.model, "mask_policy", None) == "point-based-std":
+            return quality
         return self.model.normalize_quality(quality)
 
     def compress(self, x: jax.Array, quality=0.0, return_debug: bool = False):

@@ -360,3 +360,36 @@ def test_coding_loss_fallback_split_mode(codec, x):
     finally:
         codec.coded_split = False
         codec.on_coding_loss = "warn"
+
+
+def test_point_based_std_raw_quality_at_codec_layer():
+    """ADVICE r2: the codec layer must NOT index-normalize quality for
+    point-based-std models — extract_mask consumes the raw value as a
+    quantile fraction (x0.1). A lambda in lmbda_list would otherwise be
+    silently mapped to its level index."""
+    from resdsic_tpu.models import ScalableCodec, ScalableICD
+
+    m = ScalableICD(
+        N=64, M=64, num_slices=2, max_support_slices=1,
+        lmbda_list=(0.0035, 0.065), mask_policy="point-based-std",
+    )
+    p = jax.jit(m.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    c = ScalableCodec(m, p)
+    assert c._normalize_quality(0.065) == 0.065  # raw, not index 1
+    assert c._normalize_quality(0) == 0
+    # two-levels models keep index semantics
+    m2 = ScalableICD(
+        N=64, M=64, num_slices=2, max_support_slices=1,
+        lmbda_list=(0.0035, 0.065), mask_policy="two-levels",
+    )
+    c2 = ScalableCodec(m2, p)
+    assert c2._normalize_quality(0.065) == 1
+    # end-to-end: lambda quality roundtrips bit-exactly through the coded
+    # path (encode and decode must derive the identical mask from raw q)
+    c.update()
+    c.on_coding_loss = "warn"
+    xx = jax.random.uniform(jax.random.key(11), (1, 64, 64, 3), jnp.float32)
+    assert c.selftest_coded(xx, quality=0.065)
