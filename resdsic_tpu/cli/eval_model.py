@@ -22,7 +22,7 @@ import numpy as np
 
 from ..data.datasets import _IMG_EXTS
 from ..models import ScalableCodec, WACNNCodec, get_model
-from ..ops.math import compute_padding, unpad_image
+from ..ops.math import compute_bucketed_padding, compute_padding, unpad_image
 from ..utils.functions import compute_msssim, compute_psnr, read_image
 
 
@@ -59,12 +59,15 @@ def load_model_and_params(arch: str, checkpoint: str, args):
     return model, params
 
 
-def inference(codec, x, quality=None, coded=False):
+def inference(codec, x, quality=None, coded=False, bucket=False):
     """Pad → compress → decompress → unpad with wall timing
     (ref __main__.py:82-125). coded=True routes through the on-device
-    entropy-coded single-dispatch paths."""
+    entropy-coded single-dispatch paths; bucket=True pads to bucketed
+    geometries so varied datasets (CLIC) compile O(log) programs instead
+    of one per distinct shape."""
     h, w = x.shape[1:3]
-    pad, unpad = compute_padding(h, w, min_div=64)
+    padding = compute_bucketed_padding if bucket else compute_padding
+    pad, unpad = padding(h, w, min_div=64)
     x_padded = jnp.asarray(
         np.pad(np.asarray(x), ((0, 0), (pad[2], pad[3]), (pad[0], pad[1]), (0, 0)))
     )
@@ -97,6 +100,7 @@ def inference(codec, x, quality=None, coded=False):
         "bpp": bpp,
         "encoding_time": enc_time,
         "decoding_time": dec_time,
+        "_padded_shape": tuple(x_padded.shape[1:3]),
     }
 
 
@@ -134,7 +138,7 @@ def inference_entropy_estimation(model, params, x, quality=None):
 
 def eval_model(
     model, params, filepaths, entropy_estimation=False, quality=None,
-    coded=False,
+    coded=False, bucket=False,
 ):
     metrics = {}
     codec = None
@@ -142,17 +146,22 @@ def eval_model(
         codec_cls = ScalableCodec if hasattr(model, "lmbda_list") else WACNNCodec
         codec = codec_cls(model, params)
         codec.update(force=True)
+    padded_shapes = set()
     for fp in filepaths:
         x = read_image(fp)
         if entropy_estimation:
             rv = inference_entropy_estimation(model, params, x, quality)
         else:
             q = {} if not hasattr(model, "lmbda_list") else {"quality": quality or 0}
-            rv = inference(codec, x, coded=coded, **q)
+            rv = inference(codec, x, coded=coded, bucket=bucket, **q)
+        padded_shapes.add(rv.pop("_padded_shape", None))
         for k, v in rv.items():
             metrics.setdefault(k, 0.0)
             metrics[k] += v
-    return {k: v / len(filepaths) for k, v in metrics.items()}
+    out = {k: v / len(filepaths) for k, v in metrics.items()}
+    padded_shapes.discard(None)
+    out["distinct_padded_shapes"] = len(padded_shapes)
+    return out
 
 
 def main(argv=None):
@@ -166,6 +175,10 @@ def main(argv=None):
     parser.add_argument("--coded", action="store_true",
                         help="serve through the on-device entropy-coded "
                         "single-dispatch paths (device-ans format)")
+    parser.add_argument("--bucket-shapes", action="store_true",
+                        help="pad to bucketed geometries: varied datasets "
+                        "(CLIC 2K) compile O(log) programs instead of one "
+                        "per distinct padded shape, for a small bpp cost")
     parser.add_argument("-q", "--quality", type=float, default=None)
     parser.add_argument("--lambda_list", nargs="+", type=float,
                         default=[0.0035, 0.065])
@@ -182,7 +195,7 @@ def main(argv=None):
         model = model.replace(dtype=jnp.bfloat16)
     metrics = eval_model(
         model, params, filepaths, args.entropy_estimation, args.quality,
-        coded=args.coded,
+        coded=args.coded, bucket=args.bucket_shapes,
     )
     coder_name = "device-ans" if args.coded else "ans"
     out = {

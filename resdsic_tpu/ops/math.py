@@ -121,6 +121,36 @@ def compute_padding(in_h: int, in_w: int, *, out_h=None, out_w=None, min_div=1):
     return pad, unpad
 
 
+def bucket_dim(n: int, min_div: int = 64) -> int:
+    """Round a padded dimension up to a bucketed size: a multiple of
+    min_div whose unit count keeps 3 significant bits (1..8, 10, 12, 14,
+    16, 20, 24, 28, 32, 40, ... units) — <= 4/3 overpad vs the plain x64
+    pad, typically ~10%.
+
+    Varied datasets (CLIC's 2K shapes — SURVEY §7 hard part 5) would
+    otherwise trigger a fresh XLA compile per distinct padded shape; this
+    bounds the distinct shapes to O(log) per dimension at <= 1/3 (typically
+    ~10%) spatial overpad. Overpadded rows/cols still get entropy-coded
+    (flat replicate-padding is cheap but not free), so bucketing trades a
+    little bpp for bounded compiles — opt-in at eval (--bucket-shapes).
+    """
+    units = -(-n // min_div)
+    if units > 8:
+        step = 1 << (units.bit_length() - 3)
+        units = -(-units // step) * step
+    return units * min_div
+
+
+def compute_bucketed_padding(in_h: int, in_w: int, *, min_div: int = 64):
+    """compute_padding with bucketed target dims (see bucket_dim)."""
+    return compute_padding(
+        in_h, in_w,
+        out_h=bucket_dim(in_h, min_div),
+        out_w=bucket_dim(in_w, min_div),
+        min_div=min_div,
+    )
+
+
 def pad_image(x: jax.Array, pad) -> jax.Array:
     """Replication-pad an NHWC image batch with (left, right, top, bottom)."""
     left, right, top, bottom = pad

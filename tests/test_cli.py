@@ -174,3 +174,37 @@ def test_compress_with_ac_scalable(kodak_dir):
     assert len(bpps) == 2 and len(psnrs) == 2
     assert bpps[1] > bpps[0] > 0  # progressive adds rate
     assert all(np.isfinite(p) for p in psnrs)
+
+
+def test_eval_model_cli_bucket_shapes(tmp_path, capsys, monkeypatch):
+    """--bucket-shapes: >=3 distinct image shapes must collapse to fewer
+    padded geometries (bounding XLA recompiles on CLIC-style datasets)."""
+    from PIL import Image
+
+    from resdsic_tpu.cli import eval_model as em
+
+    d = tmp_path / "clic"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    # 3 distinct shapes whose 64-padded dims bucket to <= 2 geometries
+    for i, (h, w) in enumerate([(70, 130), (100, 150), (120, 190)]):
+        arr = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img{i}.png")
+
+    def tiny_load(arch, checkpoint, args):
+        import jax, jax.numpy as jnp
+        from resdsic_tpu.models import WACNN
+
+        model = WACNN(N=32, M=64, num_slices=2, max_support_slices=1)
+        params = jax.jit(model.init)(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)},
+            jnp.zeros((1, 64, 64, 3)),
+        )
+        return model, params
+
+    monkeypatch.setattr(em, "load_model_and_params", tiny_load)
+    em.main(["-d", str(d), "-a", "cnn", "--bucket-shapes"])
+    out = json.loads(capsys.readouterr().out)
+    r = out["results"]
+    assert r["bpp"] > 0
+    assert r["distinct_padded_shapes"] <= 2  # 3 shapes -> <= 2 programs

@@ -68,3 +68,37 @@ def test_compute_padding_and_pad_unpad():
     assert xp.shape == (1, 512, 704, 3)
     xu = unpad_image(xp, unpad)
     np.testing.assert_array_equal(xu, x)
+
+
+def test_bucket_dim():
+    """Bucketed padded dims keep <=2 significant bits of 64-units: CLIC's
+    varied 2K shapes map to O(log) distinct geometries (SURVEY §7 hard
+    part 5)."""
+    from resdsic_tpu.ops.math import bucket_dim
+
+    assert bucket_dim(64) == 64
+    assert bucket_dim(256) == 256
+    assert bucket_dim(257) == 320  # 5 units (small counts stay exact)
+    assert bucket_dim(768) == 768  # 12 units ok
+    assert bucket_dim(769) == 896  # 13 -> 14 units
+    assert bucket_dim(1365) == 1536  # 22 -> 24 units
+    assert bucket_dim(2048) == 2048
+    for n in range(1, 4096, 37):
+        b = bucket_dim(n)
+        assert b >= n and b % 64 == 0
+        assert b * 3 <= ((n + 63) // 64) * 64 * 4  # <= 4/3 of the x64 pad
+    # all CLIC-ish sizes collapse to few buckets
+    dims = {bucket_dim(n) for n in range(1200, 2200)}
+    assert len(dims) <= 6
+
+
+def test_compute_bucketed_padding_roundtrip():
+    import numpy as np
+
+    from resdsic_tpu.ops.math import compute_bucketed_padding, unpad_image
+
+    pad, unpad = compute_bucketed_padding(100, 200, min_div=64)
+    x = np.arange(100 * 200 * 3, dtype=np.float32).reshape(1, 100, 200, 3)
+    xp = np.pad(x, ((0, 0), (pad[2], pad[3]), (pad[0], pad[1]), (0, 0)))
+    assert xp.shape[1] % 64 == 0 and xp.shape[2] % 64 == 0
+    np.testing.assert_array_equal(unpad_image(xp, unpad), x)
