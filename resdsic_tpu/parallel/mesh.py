@@ -74,10 +74,17 @@ def make_multihost_mesh(
     if jax.process_count() == dcn_size and dcn_size > 1:
         from jax.experimental import mesh_utils
 
+        # process_is_granule: the DCN axis groups by host process. The
+        # default (slice granules) breaks on a single pod slice spread
+        # over several hosts — all devices share slice_index 0 — which is
+        # exactly the GKE multihost topology (kube/train-v5e-multihost):
+        # caught by tests/distributed_worker.py running this branch for
+        # real with two processes.
         grid = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(1, ici_size),
             dcn_mesh_shape=(dcn_size, 1),
             devices=devices,
+            process_is_granule=True,
         )
     else:
         grid = np.asarray(devices).reshape(dcn_size, ici_size)
