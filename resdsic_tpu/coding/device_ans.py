@@ -544,6 +544,7 @@ def split_encode_plane(
     vals_l: jax.Array,  # (B, L, T) int32 — symbol values (0 == center)
     cond_tables: DeviceAnsTables,
     consts: Tuple[Tuple[int, ...], Tuple[int, ...], Tuple[int, ...]],
+    capv: int = 0,
 ):
     """Encode-side significance split of one lane-layout symbol plane.
 
@@ -560,7 +561,12 @@ def split_encode_plane(
     """
     p0c, centc, _ = consts
     ts = rows_l.shape[-1]
-    capv = max(8, ts // 2)
+    # capv: static per-lane nonzero budget. 0 = the conservative T/2
+    # default; serving configs tune it down (codec.split_cap_frac) since
+    # the value-plane scan length, the rank-select compare-sums, and the
+    # value-entry gathers all scale with it. Overflow is counted and the
+    # codec's on_coding_loss policy falls back losslessly.
+    capv = min(ts, capv) if capv > 0 else max(8, ts // 2)
     n_bad_rows = jnp.sum(
         ((rows_l < 0) | (rows_l >= len(p0c))).astype(jnp.int32)
     )
@@ -597,11 +603,13 @@ def split_decode_plane(
     rows_l: jax.Array,  # (B, L, T) int32
     cond_tables: DeviceAnsTables,
     consts: Tuple[Tuple[int, ...], Tuple[int, ...], Tuple[int, ...]],
+    capv: int = 0,
 ) -> Tuple[AnsDecodeCarry, jax.Array]:
-    """Decode-side mirror of split_encode_plane; returns values (B,L,T)."""
+    """Decode-side mirror of split_encode_plane; returns values (B,L,T).
+    capv must equal the encoder's (carried in the blob header)."""
     p0c, centc, offc = consts
     ts = rows_l.shape[-1]
-    capv = max(8, ts // 2)
+    capv = min(ts, capv) if capv > 0 else max(8, ts // 2)
     p0_pos = map_rows_const(rows_l, p0c)
     carry, bits = ans_decode_binary_plane(carry, p0_pos)
     tidx, counts_v = rank_select(bits.astype(jnp.bool_), capv)

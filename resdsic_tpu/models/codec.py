@@ -47,7 +47,7 @@ class CodingLossError(RuntimeError):
 
 _BLOB_MAGIC = 0xD5
 _BLOB_VERSION = 1
-_BLOB_HEADER = struct.Struct("<BBBBHHf")  # magic, ver, flags, 0, lanes, 0, q
+_BLOB_HEADER = struct.Struct("<BBBBHHf")  # magic, ver, flags, 0, lanes, capv, q
 
 # Shared pool for per-image rANS calls: the ctypes calls release the GIL, so
 # the 16-ish independent streams of a batch encode/decode in parallel.
@@ -133,13 +133,28 @@ class WACNNCodec:
         # value plane): ~6x fewer table-gathered symbols on the decode
         # scan's critical path at trained-model sparsity
         self.coded_split = False
+        # split_cap_frac: per-lane nonzero budget of the significance-split
+        # value planes as a fraction of the lane length. 0.5 (=T/2) is the
+        # conservative default; serving configs tune it to the model's
+        # measured significance rate — the value-plane scan length and the
+        # rank-select/select costs all scale with it, and overflow falls
+        # back losslessly via on_coding_loss.
+        self.split_cap_frac = 0.5
+        # coded_word_cap: static per-lane word capacity of the encoder's
+        # dense compaction (None = in-model default T/16). The compaction
+        # compare-sum is O(cap * T) per lane, so serving configs set this
+        # to a small bucket above the workload's observed counts.max();
+        # overflow re-dispatches at the next power of two (warned, rare).
+        self.coded_word_cap = None
         self._encode_coded_fn = jax.jit(
             functools.partial(model.apply, method="encode_coded"),
-            static_argnames=("lanes", "cap", "split_consts"),
+            static_argnames=("lanes", "cap", "split_consts", "split_capv"),
         )
         self._decode_coded_fn = jax.jit(
             functools.partial(model.apply, method="decode_coded"),
-            static_argnames=("z_shape", "lanes", "cap", "split_consts"),
+            static_argnames=(
+                "z_shape", "lanes", "cap", "split_consts", "split_capv",
+            ),
         )
 
     @staticmethod
@@ -205,7 +220,36 @@ class WACNNCodec:
         )
         return n
 
+    def _split_capv(self, x: jax.Array) -> int:
+        """Static per-lane nonzero budget for the split value planes at
+        this input geometry (0 = in-model default T/2)."""
+        frac = self.split_cap_frac
+        if not self.coded_split or frac is None or frac >= 0.5:
+            return 0
+        h, w = int(x.shape[1]), int(x.shape[2])
+        n_y = (h // 16) * (w // 16) * self.model.slice_ch
+        ts = -(-n_y // self.coded_lanes)
+        return max(8, int(ts * frac))
+
     # -- device-coded container framing --
+
+    @staticmethod
+    def _extract_lane_words(
+        dense: np.ndarray, counts: np.ndarray, b: int, L: int
+    ) -> list:
+        """Per-image lane-concatenated words from the dense (B*L, capf)
+        matrix — one vectorized boolean mask instead of B*L numpy slices
+        (the slice loop cost ~ms/image of pure host time on 1-core
+        builders)."""
+        capf = dense.shape[1]
+        mask = (
+            np.arange(capf, dtype=np.int32)[None, :]
+            < counts.reshape(-1, 1).astype(np.int32)
+        )
+        flat = dense[mask]  # all lanes' words, (b, lane) raster order
+        per_image = counts.reshape(b, L).sum(axis=1).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(per_image)))
+        return [flat[offs[i] : offs[i + 1]] for i in range(b)]
 
     def _pack_blob(
         self,
@@ -215,12 +259,13 @@ class WACNNCodec:
         split: bool,
         q: float = 0.0,
         has_prog: bool = False,
+        capv: int = 0,
     ) -> bytes:
         flags = (1 if split else 0) | (2 if has_prog else 0)
         return (
             _BLOB_HEADER.pack(
                 _BLOB_MAGIC, _BLOB_VERSION, flags, 0,
-                states_row.shape[0], 0, float(q),
+                states_row.shape[0], capv, float(q),
             )
             + states_row.astype("<u4").tobytes()
             + counts_row.astype("<u4").tobytes()
@@ -234,7 +279,7 @@ class WACNNCodec:
             raise CodedStreamError(
                 f"blob too short for a device-ans header ({len(blob)} bytes)"
             )
-        magic, ver, flags, _, lanes, _, q = _BLOB_HEADER.unpack(blob[:hs])
+        magic, ver, flags, _, lanes, capv, q = _BLOB_HEADER.unpack(blob[:hs])
         if magic != _BLOB_MAGIC:
             raise CodedStreamError(
                 f"bad magic 0x{magic:02X} (expected 0x{_BLOB_MAGIC:02X}) — "
@@ -252,6 +297,7 @@ class WACNNCodec:
             "split": bool(flags & 1),
             "has_prog": bool(flags & 2),
             "lanes": int(lanes),
+            "capv": int(capv),
             "q": float(q),
             "states": np.frombuffer(blob, "<u4", lanes, offset=hs),
             "counts": np.frombuffer(blob, "<u4", lanes, offset=hs + 4 * lanes),
@@ -262,7 +308,10 @@ class WACNNCodec:
     def _parse_blobs(cls, blobs: Sequence[bytes]) -> Dict[str, Any]:
         """Parse a batch of blobs; headers must agree across the batch."""
         parsed = [cls._parse_blob(s) for s in blobs]
-        h0 = {k: parsed[0][k] for k in ("split", "has_prog", "lanes", "q")}
+        h0 = {
+            k: parsed[0][k]
+            for k in ("split", "has_prog", "lanes", "capv", "q")
+        }
         for p in parsed[1:]:
             for k, v in h0.items():
                 if p[k] != v:
@@ -401,14 +450,18 @@ class WACNNCodec:
         self._check_updated()
         L = self.coded_lanes
         split = self.coded_split
+        capv = self._split_capv(x)
         skw = (
             dict(
                 split_tables=self.split_tables,
                 split_consts=self._split_consts,
+                split_capv=capv,
             )
             if split
             else {}
         )
+        if self.coded_word_cap:
+            skw["cap"] = int(self.coded_word_cap)
         out = self._encode_coded_fn(
             self.params, x, self.dev_tables, lanes=L, **skw
         )
@@ -431,6 +484,7 @@ class WACNNCodec:
                 f"re-dispatching with cap={cap2}",
                 RuntimeWarning,
             )
+            skw.pop("cap", None)
             out = self._encode_coded_fn(
                 self.params, x, self.dev_tables, lanes=L, cap=cap2, **skw
             )
@@ -445,15 +499,13 @@ class WACNNCodec:
         )  # (B*L, cap_fetch) uint16
 
         b = counts.shape[0]
-        strings = []
-        for i in range(b):
-            rows = dense[i * L : (i + 1) * L]
-            lane_words = np.concatenate(
-                [rows[j, : counts[i, j]] for j in range(L)]
+        lane_words = self._extract_lane_words(dense, counts, b, L)
+        strings = [
+            self._pack_blob(
+                states[i], counts[i], lane_words[i], split, capv=capv
             )
-            strings.append(
-                self._pack_blob(states[i], counts[i], lane_words, split)
-            )
+            for i in range(b)
+        ]
         zh, zw = out["y_hat"].shape[1] // 4, out["y_hat"].shape[2] // 4
         result: Dict[str, Any] = {
             "strings": [strings],
@@ -487,6 +539,7 @@ class WACNNCodec:
             dict(
                 split_tables=self.split_tables,
                 split_consts=self._split_consts,
+                split_capv=hdr["capv"],
             )
             if hdr["split"]
             else {}
@@ -742,12 +795,13 @@ class ScalableCodec(WACNNCodec):
         )
         self._encode_coded_fn = jax.jit(
             functools.partial(model.apply, method="encode_coded_scalable"),
-            static_argnames=("q", "lanes", "cap", "split_consts"),
+            static_argnames=("q", "lanes", "cap", "split_consts", "split_capv"),
         )
         self._decode_coded_fn = jax.jit(
             functools.partial(model.apply, method="decode_coded_scalable"),
             static_argnames=(
                 "z_shape", "zp_shape", "q", "lanes", "cap", "split_consts",
+                "split_capv",
             ),
         )
 
@@ -791,14 +845,18 @@ class ScalableCodec(WACNNCodec):
         L = self.coded_lanes
         split = self.coded_split
         q = self._normalize_quality(quality)
+        capv = self._split_capv(x)
         skw = (
             dict(
                 split_tables=self.split_tables,
                 split_consts=self._split_consts,
+                split_capv=capv,
             )
             if split
             else {}
         )
+        if self.coded_word_cap:
+            skw["cap"] = int(self.coded_word_cap)
         out = self._encode_coded_fn(
             self.params, x, self.dev_tables, q=q, lanes=L, **skw
         )
@@ -821,6 +879,7 @@ class ScalableCodec(WACNNCodec):
                 f"re-dispatching with cap={cap2}",
                 RuntimeWarning,
             )
+            skw.pop("cap", None)
             out = self._encode_coded_fn(
                 self.params, x, self.dev_tables, q=q, lanes=L, cap=cap2,
                 **skw,
@@ -837,18 +896,14 @@ class ScalableCodec(WACNNCodec):
 
         b = counts.shape[0]
         with_prog = out.get("zp_shape") is not None
-        strings = []
-        for i in range(b):
-            rows = dense[i * L : (i + 1) * L]
-            lane_words = np.concatenate(
-                [rows[j, : counts[i, j]] for j in range(L)]
+        lane_words = self._extract_lane_words(dense, counts, b, L)
+        strings = [
+            self._pack_blob(
+                states[i], counts[i], lane_words[i], split,
+                q=q, has_prog=with_prog, capv=capv,
             )
-            strings.append(
-                self._pack_blob(
-                    states[i], counts[i], lane_words, split,
-                    q=q, has_prog=with_prog,
-                )
-            )
+            for i in range(b)
+        ]
         shape = [tuple(out["z_shape"].shape)]
         if with_prog:
             shape.append(tuple(out["zp_shape"].shape))
@@ -915,6 +970,7 @@ class ScalableCodec(WACNNCodec):
             dict(
                 split_tables=self.split_tables,
                 split_consts=self._split_consts,
+                split_capv=hdr["capv"],
             )
             if hdr["split"]
             else {}

@@ -568,6 +568,7 @@ class ResWACNNSharedEntropy(WACNN):
         cap: int = 0,
         split_tables=None,
         split_consts=None,
+        split_capv: int = 0,
     ):
         from ...coding.device_ans import (
             ans_encode_packed,
@@ -625,7 +626,8 @@ class ResWACNNSharedEntropy(WACNN):
             bins_l = plane_to_lanes(bins_pl.reshape(b, -1), lanes)
             vals_l = plane_to_lanes(vals_pl.reshape(b, -1), lanes)
             entries, actives, coerced, n_over, n_bad = split_encode_plane(
-                rows_l, bins_l, vals_l, split_tables, split_consts
+                rows_l, bins_l, vals_l, split_tables, split_consts,
+                capv=split_capv,
             )
             entry_planes.extend(entries)
             active_planes.extend(actives)
@@ -749,6 +751,7 @@ class ResWACNNSharedEntropy(WACNN):
         cap: int = 128,  # static >= counts.max(); driver buckets it
         split_tables=None,
         split_consts=None,
+        split_capv: int = 0,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         from ...coding.device_ans import (
             ans_decode_init,
@@ -778,7 +781,7 @@ class ResWACNNSharedEntropy(WACNN):
             shp = rows.shape
             rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
             carry, vals_l = split_decode_plane(
-                carry, rows_l, split_tables, split_consts
+                carry, rows_l, split_tables, split_consts, capv=split_capv
             )
             vals = lanes_to_plane(vals_l, int(np.prod(shp[1:]))).reshape(shp)
             return carry, vals

@@ -320,6 +320,7 @@ class WACNN(nn.Module):
         cap: int = 0,
         split_tables=None,
         split_consts=None,
+        split_capv: int = 0,
     ):
         """Full encoder + on-device rANS. Returns dense words + header.
 
@@ -425,7 +426,8 @@ class WACNN(nn.Module):
                 vals_l = plane_to_lanes(vals.reshape(b, -1), lanes)
                 entries, actives, vals_coerced, n_over, n_bad = (
                     split_encode_plane(
-                        rows_l, bins_l, vals_l, split_tables, split_consts
+                        rows_l, bins_l, vals_l, split_tables, split_consts,
+                        capv=split_capv,
                     )
                 )
                 entry_planes.extend(entries)
@@ -469,6 +471,7 @@ class WACNN(nn.Module):
         cap: int = 128,  # static >= counts.max(); driver buckets it
         split_tables=None,
         split_consts=None,
+        split_capv: int = 0,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Single-dispatch full decode: device rANS + slice loop + g_s.
 
@@ -525,7 +528,8 @@ class WACNN(nn.Module):
                 from ..coding.device_ans import split_decode_plane
 
                 carry, vals_l = split_decode_plane(
-                    carry, rows_l, split_tables, split_consts
+                    carry, rows_l, split_tables, split_consts,
+                    capv=split_capv,
                 )
                 vals = lanes_to_plane(vals_l, n_y).reshape(b, yh, yw, sc)
             y_hat_slice = vals.astype(jnp.float32) + mu

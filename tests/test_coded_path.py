@@ -393,3 +393,21 @@ def test_point_based_std_raw_quality_at_codec_layer():
     c.on_coding_loss = "warn"
     xx = jax.random.uniform(jax.random.key(11), (1, 64, 64, 3), jnp.float32)
     assert c.selftest_coded(xx, quality=0.065)
+
+
+def test_split_capv_tunable_roundtrip(codec, x):
+    """split_cap_frac tunes the value-plane budget; capv rides the blob
+    header so decode self-configures even if the codec's frac changed."""
+    codec.coded_split = True
+    codec.split_cap_frac = 0.25
+    try:
+        out = codec.compress_coded(x, return_debug=True)
+        assert out["format"] == "device-ans"
+        codec.split_cap_frac = 0.5  # decode must use the header's capv
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+    finally:
+        codec.coded_split = False
+        codec.split_cap_frac = 0.5

@@ -35,8 +35,17 @@ def main():
     codec.coded_lanes = 512
     x = jax.random.uniform(jax.random.key(2), (B, H, W, 3), jnp.float32)
 
-    for split in (True, False):
+    import sys
+
+    configs = [
+        ("split f=.25 cap=64", True, 0.25, 64),
+        ("split f=.5", True, 0.5, None),
+        ("plain", False, 0.5, None),
+    ]
+    for name, split, frac, wcap in configs:
         codec.coded_split = split
+        codec.split_cap_frac = frac
+        codec.coded_word_cap = wcap
         out = codec.compress_coded(x)
         rec = codec.decompress_coded(out["strings"], out["shape"])
         np.asarray(rec["x_hat"][:1, :1, :1])
@@ -49,7 +58,7 @@ def main():
             np.asarray(rec["x_hat"][:1, :1, :1])
             t2 = time.perf_counter()
             print(
-                f"split={int(split)} enc {(t1-t0)/B*1e3:6.2f} "
+                f"{name:16s} enc {(t1-t0)/B*1e3:6.2f} "
                 f"dec {(t2-t1)/B*1e3:6.2f} total {(t2-t0)/B*1e3:6.2f} ms/img "
                 f"bpp {nbytes*8/(B*H*W):.3f}",
                 flush=True,

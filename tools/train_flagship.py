@@ -1,0 +1,210 @@
+"""Train the flagship WACNN ("cnn") to a real operating point (VERDICT r3 #2).
+
+Deterministic recipe (fixed seeds, synthetic+asset data): running this
+script reproduces the committed RD artifact and the weights bench.py uses.
+
+Data: a mix of (a) 1/f-spectrum colored-noise fields with dead-leaves
+occluders (natural-image second-order statistics: power-law spectrum,
+sharp occlusion edges) and (b) random crops of the three natural PNGs
+shipped inside the reference repo's assets (read-only). OpenImages is not
+reachable in this environment (no egress), so this is the closest
+reproducible stand-in; the resulting operating point is real in the sense
+that matters for the codec: trained entropy models, trained transforms,
+symbol statistics at a chosen lambda.
+
+Run (TPU): PYTHONPATH=/root/.axon_site:. python tools/train_flagship.py \
+    --steps 6000 --lmbda 0.025
+Writes artifacts/cnn_trained_bf16.npz (bf16 params; ~150 MB, gitignored)
+and artifacts/train_log.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+ASSETS = [
+    "/root/reference/prova.png",
+    "/root/reference/assets/detail_01.png",
+    "/root/reference/assets/detail_07.png",
+]
+
+
+def _load_assets():
+    from PIL import Image
+
+    out = []
+    for p in ASSETS:
+        if Path(p).exists():
+            im = Image.open(p).convert("RGB")
+            out.append(np.asarray(im, np.float32) / 255.0)
+    return out
+
+
+def _pink_field(rng: np.random.Generator, h: int, w: int, alpha: float):
+    """1/f^alpha colored noise per channel with correlated color."""
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.rfftfreq(w)[None, :]
+    radial = np.sqrt(fy * fy + fx * fx)
+    radial[0, 0] = 1.0
+    amp = radial ** (-alpha)
+    base = []
+    for _ in range(3):
+        phase = rng.standard_normal((h, w // 2 + 1)) + 1j * rng.standard_normal(
+            (h, w // 2 + 1)
+        )
+        base.append(np.fft.irfft2(amp * phase, s=(h, w)))
+    img = np.stack(base, -1)
+    # correlate channels like natural images (luma-dominant)
+    mix = 0.7 * img.mean(-1, keepdims=True) + 0.3 * img
+    mix = (mix - mix.min()) / (np.ptp(mix) + 1e-8)
+    return mix.astype(np.float32)
+
+
+def _dead_leaves(rng: np.random.Generator, img: np.ndarray, n: int):
+    """Overlay random soft-edged rectangles/ellipses (occlusion edges)."""
+    h, w, _ = img.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    for _ in range(n):
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        ry, rx = rng.uniform(4, h / 3), rng.uniform(4, w / 3)
+        theta = rng.uniform(0, np.pi)
+        c, s = np.cos(theta), np.sin(theta)
+        u = (yy - cy) * c + (xx - cx) * s
+        v = -(yy - cy) * s + (xx - cx) * c
+        if rng.uniform() < 0.5:
+            m = (u / ry) ** 2 + (v / rx) ** 2 < 1.0
+        else:
+            m = (np.abs(u) < ry / 1.6) & (np.abs(v) < rx / 1.6)
+        color = rng.uniform(0, 1, 3).astype(np.float32)
+        blend = rng.uniform(0.6, 1.0)
+        img = np.where(m[..., None], blend * color + (1 - blend) * img, img)
+    return img
+
+
+def make_batch(rng: np.random.Generator, assets, b: int, hw: int) -> np.ndarray:
+    out = np.empty((b, hw, hw, 3), np.float32)
+    for i in range(b):
+        if assets and rng.uniform() < 0.5:
+            a = assets[rng.integers(len(assets))]
+            y = rng.integers(0, a.shape[0] - hw)
+            x = rng.integers(0, a.shape[1] - hw)
+            crop = a[y : y + hw, x : x + hw].copy()
+            if rng.uniform() < 0.5:
+                crop = crop[:, ::-1]
+            out[i] = crop
+        else:
+            img = _pink_field(rng, hw, hw, alpha=rng.uniform(0.9, 1.4))
+            img = _dead_leaves(rng, img, n=int(rng.integers(4, 16)))
+            out[i] = np.clip(
+                img + 0.01 * rng.standard_normal(img.shape), 0, 1
+            )
+    return out
+
+
+def save_params_npz(params, path: str):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {}
+    for kp, v in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        a = np.asarray(v)
+        if a.dtype == np.float32:
+            # bf16 halves the artifact; stored as a u16 view because
+            # np.savez cannot round-trip the ml_dtypes bfloat16 dtype
+            bf = np.asarray(jnp.asarray(a).astype(jnp.bfloat16))
+            arrays[key + "::bf16"] = bf.view(np.uint16)
+        else:
+            arrays[key] = a
+    np.savez(path, **arrays)
+
+
+def load_params_npz(path: str, like):
+    """Restore a tree saved by save_params_npz onto `like`'s structure."""
+    data = np.load(path, allow_pickle=False)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    out = []
+    for kp, v in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        if key + "::bf16" in data:
+            raw = data[key + "::bf16"].view(jnp.bfloat16)
+            a = jnp.asarray(raw).astype(jnp.float32)
+        else:
+            a = jnp.asarray(data[key])
+        out.append(a.reshape(v.shape))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--lmbda", type=float, default=0.025)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--aux-lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="artifacts")
+    ap.add_argument("--log-every", type=int, default=200)
+    args = ap.parse_args()
+
+    from resdsic_tpu.models import WACNN
+    from resdsic_tpu.training.loss import RateDistortionLoss
+    from resdsic_tpu.training.state import create_train_state
+    from resdsic_tpu.training.step import make_train_step
+
+    print(f"devices: {jax.devices()}", flush=True)
+    model = WACNN()  # f32 training; bench serves the same params in bf16
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(args.seed), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    state = create_train_state(params)
+    step = make_train_step(model, RateDistortionLoss(lmbda=args.lmbda))
+
+    assets = _load_assets()
+    rng = np.random.default_rng(args.seed)
+    # pre-generate a pool of batches on the 1-core host, reused shuffled —
+    # host-side image synthesis is the bottleneck otherwise
+    pool = [make_batch(rng, assets, args.batch, args.crop) for _ in range(24)]
+    print("data pool ready", flush=True)
+
+    t0 = time.perf_counter()
+    log = []
+    lr = args.lr
+    best = None
+    for it in range(args.steps):
+        batch = jnp.asarray(pool[int(rng.integers(len(pool)))])
+        state, metrics = step(
+            state, batch, jax.random.key(args.seed * 1000 + it), lr, args.aux_lr
+        )
+        if (it + 1) % args.log_every == 0 or it == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["step"] = it + 1
+            m["wall_s"] = round(time.perf_counter() - t0, 1)
+            log.append(m)
+            print(
+                f"step {it+1}: loss {m.get('loss', 0):.4f} "
+                f"bpp {m.get('bpp_loss', 0):.4f} "
+                f"mse {m.get('mse_loss', 0):.6f} ({m['wall_s']}s)",
+                flush=True,
+            )
+
+    out = Path(args.out)
+    out.mkdir(exist_ok=True)
+    save_params_npz(state.params, str(out / "cnn_trained_bf16.npz"))
+    (out / "train_log.json").write_text(json.dumps(
+        {"args": vars(args), "log": log}, indent=2))
+    print(f"saved {out}/cnn_trained_bf16.npz", flush=True)
+
+
+if __name__ == "__main__":
+    main()
