@@ -22,6 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.pallas_win_attention import (
+    pallas_attention_enabled,
+    window_attention as fused_window_attention,
+    xla_window_attention,
+)
+from .attention import _DenseParams
+
 from ..ops.math import NonNegativeParametrizer
 from .conv import Conv, SubpelConv3x3, conv1x1, conv3x3, gelu
 from .gdn import GDN
@@ -160,6 +167,7 @@ class WMSA(nn.Module):
     window_size: int
     type: str = "W"
     dtype: Dtype = jnp.float32
+    use_pallas: Optional[bool] = None  # None = auto (TPU backend)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -175,47 +183,56 @@ class WMSA(nn.Module):
             jnp.float32,
         )
 
+        del scale  # derived inside the shared attention paths
+
         if self.type != "W":
             x = jnp.roll(x, shift=(-(ws // 2), -(ws // 2)), axis=(1, 2))
 
         hw, ww = h // ws, w // ws
+        n = ws * ws
         xw = x.reshape(b, hw, ws, ww, ws, c).transpose(0, 1, 3, 2, 4, 5)
-        xw = xw.reshape(b, hw * ww, ws * ws, c)
+        xw = xw.reshape(b * hw * ww, n, c)
 
-        qkv = nn.Dense(
-            3 * self.input_dim, dtype=self.dtype, param_dtype=jnp.float32,
-            name="embedding_layer",
-        )(xw)
-        qkv = qkv.reshape(b, hw * ww, ws * ws, 3, nh, self.head_dim)
-        q = qkv[..., 0, :, :].transpose(0, 1, 3, 2, 4)  # b nw nh p c
-        k = qkv[..., 1, :, :].transpose(0, 1, 3, 2, 4)
-        v = qkv[..., 2, :, :].transpose(0, 1, 3, 2, 4)
-
-        sim = jnp.einsum(
-            "bwhpc,bwhqc->bwhpq", q, k, preferred_element_type=jnp.float32
-        ) * scale
+        # params shared by the XLA and fused-Pallas paths (tree/init
+        # identical to the nn.Dense modules they replace)
+        wqkv, bqkv = _DenseParams(
+            3 * self.input_dim, name="embedding_layer"
+        )(c)
+        wproj, bproj = _DenseParams(self.output_dim, name="linear")(
+            self.input_dim
+        )
 
         # relative position embedding (tcm.py relative_embedding)
         coords = np.array(
             [[i, j] for i in range(ws) for j in range(ws)], dtype=np.int64
         )
         relation = coords[:, None, :] - coords[None, :, :] + ws - 1
-        rel = rel_params[:, relation[:, :, 0], relation[:, :, 1]]  # nh p p
-        sim = sim + rel[None, None]
+        rel = rel_params[:, relation[:, :, 0], relation[:, :, 1]]  # nh N N
 
         if self.type != "W":
-            mask = jnp.asarray(_sw_mask(hw, ww, ws, ws // 2))
-            sim = jnp.where(mask[None, :, None], -jnp.inf, sim)
+            # additive form of the blocked-position mask: -inf survives
+            # the bias add and zeroes out exactly under softmax
+            mask = jnp.asarray(
+                np.where(
+                    _sw_mask(hw, ww, ws, ws // 2), -np.inf, 0.0
+                ).astype(np.float32)
+            )
+        else:
+            mask = None
 
-        probs = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
-        out = jnp.einsum(
-            "bwhpq,bwhqc->bwhpc", probs, v, preferred_element_type=self.dtype
-        )
-        out = out.transpose(0, 1, 3, 2, 4).reshape(b, hw * ww, ws * ws, -1)
-        out = nn.Dense(
-            self.output_dim, dtype=self.dtype, param_dtype=jnp.float32,
-            name="linear",
-        )(out)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = pallas_attention_enabled()
+        if use_pallas:
+            out = fused_window_attention(
+                xw, wqkv, bqkv, wproj, bproj, rel, mask, nh, hw * ww,
+            )
+        else:
+            out = xla_window_attention(
+                xw, wqkv, bqkv, wproj, bproj, rel, mask,
+                num_heads=nh, compute_dtype=self.dtype,
+            )
+
         out = out.reshape(b, hw, ww, ws, ws, -1).transpose(0, 1, 3, 2, 4, 5)
         out = out.reshape(b, h, w, -1)
 

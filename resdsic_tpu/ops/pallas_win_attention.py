@@ -84,7 +84,7 @@ def _attn_kernel(
         (o_ref,) = refs
         mask_ref = None
 
-    c = x_ref.shape[-1]
+    c = wqkv_ref.shape[-1] // 3  # attention width (may differ from x's C)
     hd = c // num_heads
     scale = hd ** -0.5
 
@@ -143,10 +143,17 @@ def fused_window_attention(
     compute_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
-    """One-pass W-MSA over pre-partitioned windows. Returns (B*nW, N, C)."""
-    b_, n, c = xw.shape
+    """One-pass W-MSA over pre-partitioned windows.
+
+    Returns (B*nW, N, C_out) where C_out = wproj.shape[1]; the attention
+    width C_attn = wqkv.shape[1] // 3 may differ from the input C (TCM's
+    WMSA projects input_dim -> output_dim)."""
+    b_, n, c_in = xw.shape
+    c_attn = wqkv.shape[1] // 3
+    c_out = wproj.shape[1]
     nw = num_win_per_image
     assert b_ % nw == 0, (b_, nw)
+    assert wqkv.shape[0] == c_in and wproj.shape[0] == c_attn
     b = b_ // nw
     if compute_dtype is None:
         compute_dtype = xw.dtype
@@ -155,18 +162,18 @@ def fused_window_attention(
     grid = (b, nw // wt)
     rows = wt * n
 
-    x2 = xw.reshape(b_ * n, c)
+    x2 = xw.reshape(b_ * n, c_in)
     bqkv2 = bqkv.reshape(1, -1).astype(jnp.float32)
     bproj2 = bproj.reshape(1, -1).astype(jnp.float32)
     rel_bias = rel_bias.astype(jnp.float32)
 
     n_j = nw // wt
     in_specs = [
-        pl.BlockSpec((rows, c), lambda i, j: (i * n_j + j, 0)),
-        pl.BlockSpec((c, 3 * c), lambda i, j: (0, 0)),
-        pl.BlockSpec((1, 3 * c), lambda i, j: (0, 0)),
-        pl.BlockSpec((c, c), lambda i, j: (0, 0)),
-        pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        pl.BlockSpec((rows, c_in), lambda i, j: (i * n_j + j, 0)),
+        pl.BlockSpec((c_in, 3 * c_attn), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, 3 * c_attn), lambda i, j: (0, 0)),
+        pl.BlockSpec((c_attn, c_out), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, c_out), lambda i, j: (0, 0)),
         pl.BlockSpec((num_heads, n, n), lambda i, j: (0, 0, 0)),
     ]
     args = [x2, wqkv, bqkv2, wproj, bproj2, rel_bias]
@@ -182,21 +189,22 @@ def fused_window_attention(
             wt=wt,
             compute_dtype=compute_dtype,
         ),
-        out_shape=jax.ShapeDtypeStruct((b_ * n, c), xw.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_ * n, c_out), xw.dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((rows, c), lambda i, j: (i * n_j + j, 0)),
+        out_specs=pl.BlockSpec((rows, c_out), lambda i, j: (i * n_j + j, 0)),
         interpret=interpret,
     )(*args)
-    return out.reshape(b_, n, c)
+    return out.reshape(b_, n, c_out)
 
 
 def xla_window_attention(xw, wqkv, bqkv, wproj, bproj, rel_bias, mask,
                          *, num_heads, compute_dtype=None):
     """Reference einsum-chain W-MSA over (B*nW, N, C) windows — the XLA
     path the kernel replaces; also the source of the backward pass."""
-    b_, n, c = xw.shape
+    b_, n, _ = xw.shape
     nh = num_heads
+    c = wqkv.shape[1] // 3
     hd = c // nh
     scale = hd ** -0.5
     cdt = compute_dtype or xw.dtype

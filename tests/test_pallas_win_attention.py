@@ -120,3 +120,37 @@ def test_module_pallas_path_matches_xla_path():
         del os.environ["RESDSIC_PALLAS_ATTN"]
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=2e-5,
                                atol=2e-6)
+
+
+@pytest.mark.parametrize("wtype", ["W", "SW"])
+def test_wmsa_pallas_matches_xla(wtype):
+    """TCM's WMSA through the fused kernel (interpret) must match the XLA
+    path, including the -inf additive SW mask semantics."""
+    import os
+
+    import resdsic_tpu.ops.pallas_win_attention as pwa
+    from resdsic_tpu.nn.swin import WMSA
+
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((1, 8, 8, 16)), jnp.float32
+    )
+    mod = WMSA(input_dim=16, output_dim=16, head_dim=8, window_size=4,
+               type=wtype)
+    params = mod.init(jax.random.key(0), x)
+    ref = mod.apply(params, x)
+
+    orig = pwa.fused_window_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    os.environ["RESDSIC_PALLAS_ATTN"] = "1"
+    pwa.fused_window_attention = interp
+    try:
+        out = mod.apply(params, x)
+    finally:
+        pwa.fused_window_attention = orig
+        del os.environ["RESDSIC_PALLAS_ATTN"]
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=2e-5,
+                               atol=2e-6)
