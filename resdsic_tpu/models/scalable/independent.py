@@ -103,10 +103,13 @@ class ResWACNNIndependentEntropy(ResWACNNSharedEntropy):
         return self._seq(self.h_a_prog, y_prog)
 
     def _hyper_synth_prog(self, z_hat_prog) -> Tuple[jax.Array, jax.Array]:
-        return (
+        # deterministic island (see WACNN._iso)
+        z_hat_prog = self._iso(z_hat_prog)
+        out = (
             self._seq(self.h_mean_s_prog, z_hat_prog),
             self._seq(self.h_scale_s_prog, z_hat_prog),
         )
+        return self._iso(out)
 
     def _cc_prog(self, i: int):
         return self.cc_mean_transforms_prog[i], self.cc_scale_transforms_prog[i]

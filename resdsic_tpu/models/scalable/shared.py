@@ -117,10 +117,14 @@ class ResWACNNSharedEntropy(WACNN):
         return self._seq(self.h_a, y_prog)
 
     def _hyper_synth_prog(self, z_hat_prog) -> Tuple[jax.Array, jax.Array]:
-        return (
+        # deterministic island (see WACNN._iso): prog hyper outputs feed
+        # decoder-side mu/scale and must be bit-identical across programs
+        z_hat_prog = self._iso(z_hat_prog)
+        out = (
             self._seq(self.h_mean_s, z_hat_prog),
             self._seq(self.h_scale_s, z_hat_prog),
         )
+        return self._iso(out)
 
     def _cc_prog(self, i: int):
         return self.cc_mean_transforms[i], self.cc_scale_transforms[i]
@@ -219,8 +223,7 @@ class ResWACNNSharedEntropy(WACNN):
         medians = self.entropy_bottleneck.medians()
         z_hat = ste_round(z - medians) + medians
 
-        latent_scales = self._seq(self.h_scale_s, z_hat)
-        latent_means = self._seq(self.h_mean_s, z_hat)
+        latent_means, latent_scales = self._hyper_out(z_hat)
 
         z_prog = self._h_a_prog(y_progressive)
         _, z_likelihoods_prog = self.entropy_bottleneck_prog(
@@ -341,17 +344,30 @@ class ResWACNNSharedEntropy(WACNN):
 
     # prog-side mu/scale (shared cc transforms; overridden in independent)
     def _slice_mu_scale_prog(self, idx, means_prog, scales_prog, support):
+        means_prog, scales_prog, support = self._iso(
+            (means_prog, scales_prog, list(support))
+        )
         mean_support = jnp.concatenate([means_prog] + support, axis=-1)
         scale_support = jnp.concatenate([scales_prog] + support, axis=-1)
         cc_mean, cc_scale = self._cc_prog(idx)
         mu = self._seq(cc_mean, mean_support)
         scale = self._seq(cc_scale, scale_support)
+        mu, scale = self._iso((mu, scale))
         return mu, scale, mean_support
 
     def _lrp_prog(self, idx, mean_support, y_hat_slice):
+        mean_support, y_hat_slice = self._iso((mean_support, y_hat_slice))
         lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
         lrp = self._seq(self._lrp_prog_stack(idx), lrp_support)
-        return 0.5 * jnp.tanh(lrp)
+        return self._iso(0.5 * jnp.tanh(lrp))
+
+    def _coding_mask(self, latent_scales, scales_prog, q):
+        """Deterministic island for the coding mask: it gates rows on both
+        sides of the coded paths, so a 1-ulp divergence desyncs streams."""
+        latent_scales, scales_prog = self._iso((latent_scales, scales_prog))
+        return self._iso(
+            jnp.round(self.masking(latent_scales, scale_prog=scales_prog, pr=q))
+        )
 
     def _synthesize_q(self, y_hat: jax.Array, q) -> jax.Array:
         """Decoder selection point; single decoder here (ref shared)."""
@@ -457,8 +473,7 @@ class ResWACNNSharedEntropy(WACNN):
         medians = self.entropy_bottleneck.medians()
         z_symbols = quantize_symbols(z, jnp.broadcast_to(medians, z.shape))
         z_hat = z_symbols.astype(jnp.float32) + medians
-        latent_scales = self._seq(self.h_scale_s, z_hat)
-        latent_means = self._seq(self.h_mean_s, z_hat)
+        latent_means, latent_scales = self._hyper_out(z_hat)
 
         table = self._scale_table()
         sc = self.slice_ch
@@ -479,9 +494,7 @@ class ResWACNNSharedEntropy(WACNN):
             means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
             out["z_prog_symbols"] = zp_symbols.astype(jnp.int16)
             mask = (
-                jnp.round(
-                    self.masking(latent_scales, scale_prog=scales_prog, pr=q)
-                )
+                self._coding_mask(latent_scales, scales_prog, q)
                 if self.uses_coding_mask
                 else None
             )
@@ -598,8 +611,7 @@ class ResWACNNSharedEntropy(WACNN):
         )
         z_bins = values_to_bins(z_sym, z_rows, tables)
         z_hat = bins_to_values(z_bins, z_rows, tables).astype(jnp.float32) + medians
-        latent_scales = self._seq(self.h_scale_s, z_hat)
-        latent_means = self._seq(self.h_mean_s, z_hat)
+        latent_means, latent_scales = self._hyper_out(z_hat)
 
         entry_planes, active_planes = [], []
         n_clamped = jnp.zeros((), jnp.int32)
@@ -660,9 +672,7 @@ class ResWACNNSharedEntropy(WACNN):
             means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
             add_table_plane(zp_bins, zp_rows)
             mask = (
-                jnp.round(
-                    self.masking(latent_scales, scale_prog=scales_prog, pr=q)
-                )
+                self._coding_mask(latent_scales, scales_prog, q)
                 if self.uses_coding_mask
                 else None
             )
@@ -792,8 +802,7 @@ class ResWACNNSharedEntropy(WACNN):
         )
         carry, z_vals = dec_plane(carry, z_rows)
         z_hat = z_vals.astype(jnp.float32) + medians
-        latent_means = self._seq(self.h_mean_s, z_hat)
-        latent_scales = self._seq(self.h_scale_s, z_hat)
+        latent_means, latent_scales = self._hyper_out(z_hat)
 
         if with_prog:
             _, zph, zpw, zpc = zp_shape
@@ -806,9 +815,7 @@ class ResWACNNSharedEntropy(WACNN):
             z_hat_prog = zp_vals.astype(jnp.float32) + medians_p
             means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
             mask = (
-                jnp.round(
-                    self.masking(latent_scales, scale_prog=scales_prog, pr=q)
-                )
+                self._coding_mask(latent_scales, scales_prog, q)
                 if self.uses_coding_mask
                 else None
             )
@@ -867,14 +874,13 @@ class ResWACNNSharedEntropy(WACNN):
     def decode_begin_scalable(self, z_hat, z_hat_prog, q):
         """Fused: both hyper syntheses + mask + slice-0 params (both
         branches)."""
-        latent_means = self._seq(self.h_mean_s, z_hat)
-        latent_scales = self._seq(self.h_scale_s, z_hat)
+        latent_means, latent_scales = self._hyper_out(z_hat)
         mu0, scale0, _ = self._slice_mu_scale(0, latent_means, latent_scales, [])
         idx0 = gc_build_indexes(scale0, self._scale_table()).astype(jnp.uint8)
 
         means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
         mask = (
-            jnp.round(self.masking(latent_scales, scale_prog=scales_prog, pr=q))
+            self._coding_mask(latent_scales, scales_prog, q)
             if self.uses_coding_mask
             else None
         )

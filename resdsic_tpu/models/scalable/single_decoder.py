@@ -50,7 +50,6 @@ class ScalableICD(ResWACNNIndependentEntropy):
 
     def compute_mask(self, latent_scales, scales_prog, q) -> jax.Array:
         """Decoder-recomputable rounded mask (codec path,
-        ref single_decoder.py:517-519)."""
-        return jnp.round(
-            self.masking(latent_scales, scale_prog=scales_prog, pr=q)
-        )
+        ref single_decoder.py:517-519) — deterministic island, see
+        ResWACNNSharedEntropy._coding_mask."""
+        return self._coding_mask(latent_scales, scales_prog, q)

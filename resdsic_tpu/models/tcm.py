@@ -131,24 +131,37 @@ class TCM(WACNN):
         self.entropy_bottleneck = EntropyBottleneck(channels=self.hyper_ch)
         self.gaussian_conditional = GaussianConditional()
 
+    def _attended_mean_support(self, idx, latent_means, support):
+        """Shared island: the attended mean support must be bit-identical
+        whether computed here (encode/slice_params) or in
+        _lrp_mean_support (decode_step) — see WACNN._iso."""
+        ms = jnp.concatenate([latent_means] + list(support), axis=-1)
+        ms = self.atten_mean[idx](self._iso(ms))
+        return self._iso(ms)
+
     def _slice_mu_scale(self, idx, latent_means, latent_scales, support):
         """TCM applies SWAtten to the supports before the cc transforms
         (tcm.py:446-455); the ATTENDED mean support feeds the LRP too."""
-        mean_support = jnp.concatenate([latent_means] + support, axis=-1)
-        mean_support = self.atten_mean[idx](mean_support)
-        mu = self._seq(self.cc_mean_transforms[idx], mean_support)
+        latent_means, latent_scales, support = self._iso(
+            (latent_means, latent_scales, list(support))
+        )
+        mean_support = self._attended_mean_support(idx, latent_means, support)
+        mu = self._seq(self.cc_mean_transforms[idx], self._iso(mean_support))
+        mu = self._iso(mu)
 
         scale_support = jnp.concatenate([latent_scales] + support, axis=-1)
-        scale_support = self.atten_scale[idx](scale_support)
-        scale = self._seq(self.cc_scale_transforms[idx], scale_support)
+        scale_support = self.atten_scale[idx](self._iso(scale_support))
+        scale = self._seq(self.cc_scale_transforms[idx], self._iso(scale_support))
+        scale = self._iso(scale)
         return mu, scale, mean_support
 
     def _lrp(self, idx, mean_support, y_hat_slice):
         # mean_support arrives already attended from _slice_mu_scale
+        mean_support, y_hat_slice = self._iso((mean_support, y_hat_slice))
         lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
         lrp = self._seq(self.lrp_transforms[idx], lrp_support)
-        return 0.5 * jnp.tanh(lrp)
+        return self._iso(0.5 * jnp.tanh(lrp))
 
     def _lrp_mean_support(self, idx, latent_means, support):
-        ms = jnp.concatenate([latent_means] + list(support), axis=-1)
-        return self.atten_mean[idx](ms)
+        latent_means, support = self._iso((latent_means, list(support)))
+        return self._attended_mean_support(idx, latent_means, support)

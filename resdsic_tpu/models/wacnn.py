@@ -156,17 +156,48 @@ class WACNN(nn.Module):
             return list(y_hat_slices)
         return list(y_hat_slices[: self.max_support_slices])
 
+    # ---- deterministic-compilation islands -------------------------------
+    #
+    # The enc/dec bit-identity contract requires the decoder-side
+    # prediction quantities (hyper outputs, per-slice mu/scale, LRP) to
+    # be BIT-IDENTICAL across separately compiled programs (fused
+    # encoder, stepped decoder, coded enc/dec). XLA guarantees value
+    # determinism only within one compilation; a different fusion context
+    # can change f32 accumulation order — observed in round 3: a trained
+    # f32 WACNN desynced the rANS stream on TPU (selftest caught it).
+    # optimization_barrier fences turn each shared subgraph into an
+    # isolated HLO island that is byte-identical in every program, which
+    # the deterministic compiler lowers identically. Runtime guards:
+    # selftest()/selftest_coded() and the coded decoder's drained-stream
+    # check.
+
+    @staticmethod
+    def _iso(tree):
+        return jax.lax.optimization_barrier(tree)
+
+    def _hyper_out(self, z_hat):
+        """Barriered (latent_means, latent_scales) island."""
+        z_hat = self._iso(z_hat)
+        lm = self._seq(self.h_mean_s, z_hat)
+        ls = self._seq(self.h_scale_s, z_hat)
+        return self._iso((lm, ls))
+
     def _slice_mu_scale(self, idx, latent_means, latent_scales, support):
+        latent_means, latent_scales, support = self._iso(
+            (latent_means, latent_scales, list(support))
+        )
         mean_support = jnp.concatenate([latent_means] + support, axis=-1)
         mu = self._seq(self.cc_mean_transforms[idx], mean_support)
         scale_support = jnp.concatenate([latent_scales] + support, axis=-1)
         scale = self._seq(self.cc_scale_transforms[idx], scale_support)
+        mu, scale = self._iso((mu, scale))
         return mu, scale, mean_support
 
     def _lrp(self, idx, mean_support, y_hat_slice):
+        mean_support, y_hat_slice = self._iso((mean_support, y_hat_slice))
         lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
         lrp = self._seq(self.lrp_transforms[idx], lrp_support)
-        return 0.5 * jnp.tanh(lrp)
+        return self._iso(0.5 * jnp.tanh(lrp))
 
     def _lrp_mean_support(self, idx, latent_means, support):
         """Mean support for decode-side LRP; must equal what
@@ -190,8 +221,7 @@ class WACNN(nn.Module):
         medians = self.entropy_bottleneck.medians()
         z_hat = ste_round(z - medians) + medians
 
-        latent_scales = self._seq(self.h_scale_s, z_hat)
-        latent_means = self._seq(self.h_mean_s, z_hat)
+        latent_means, latent_scales = self._hyper_out(z_hat)
 
         sc = self.slice_ch
         y_hat_slices = []
@@ -267,8 +297,7 @@ class WACNN(nn.Module):
         z_symbols = quantize_symbols(z, jnp.broadcast_to(medians, z.shape))
         z_hat = z_symbols.astype(jnp.float32) + medians
 
-        latent_scales = self._seq(self.h_scale_s, z_hat)
-        latent_means = self._seq(self.h_mean_s, z_hat)
+        latent_means, latent_scales = self._hyper_out(z_hat)
 
         table = self._scale_table()
         sc = self.slice_ch
@@ -372,8 +401,7 @@ class WACNN(nn.Module):
         z_vals = bins_to_values(z_bins, z_rows, tables)
         z_hat = z_vals.astype(jnp.float32) + medians
 
-        latent_scales = self._seq(self.h_scale_s, z_hat)
-        latent_means = self._seq(self.h_mean_s, z_hat)
+        latent_means, latent_scales = self._hyper_out(z_hat)
 
         table = self._scale_table()
         sc = self.slice_ch
@@ -505,8 +533,7 @@ class WACNN(nn.Module):
         z_vals = bins_to_values(z_bins, z_rows, tables)
         z_hat = z_vals.astype(jnp.float32) + medians
 
-        latent_means = self._seq(self.h_mean_s, z_hat)
-        latent_scales = self._seq(self.h_scale_s, z_hat)
+        latent_means, latent_scales = self._hyper_out(z_hat)
 
         table = self._scale_table()
         sc = self.slice_ch
@@ -549,8 +576,7 @@ class WACNN(nn.Module):
 
     def decode_begin(self, z_hat: jax.Array):
         """Fused hyper-synthesis + slice-0 params (one dispatch)."""
-        latent_means = self._seq(self.h_mean_s, z_hat)
-        latent_scales = self._seq(self.h_scale_s, z_hat)
+        latent_means, latent_scales = self._hyper_out(z_hat)
         mu0, scale0, _ = self._slice_mu_scale(0, latent_means, latent_scales, [])
         idx0 = gc_build_indexes(scale0, self._scale_table()).astype(jnp.uint8)
         return latent_means, latent_scales, mu0, idx0
@@ -601,7 +627,7 @@ class WACNN(nn.Module):
     # ---------------- decoder device programs ----------------
 
     def hyper_synthesis(self, z_hat: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        return self._seq(self.h_mean_s, z_hat), self._seq(self.h_scale_s, z_hat)
+        return self._hyper_out(z_hat)
 
     def slice_params(
         self,

@@ -1,0 +1,120 @@
+"""RD point + estimate-vs-real-codec agreement for the trained flagship.
+
+The reference's de-facto correctness loop (src/compress/training/step.py:
+158-330) cross-checks likelihood-estimated bpp against real rANS byte
+counts every few epochs; this tool runs that check on the trained
+artifact (tools/train_flagship.py) and records an RD point next to the
+published WACNN Kodak anchors (results/cnn_mse_Kodak.json — different
+content, so the anchor row is context, not a claim of parity).
+
+Run (TPU): PYTHONPATH=/root/.axon_site:. python tools/eval_trained.py
+Writes artifacts/rd_point.json and docs/RD_r3.json (committable copy).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+H, W = 768, 512
+ANCHORS = {  # results/cnn_mse_Kodak.json (natural-photo Kodak, for context)
+    "bpp": [0.127, 0.199, 0.309, 0.449, 0.649, 0.895],
+    "psnr": [29.22, 30.59, 32.26, 34.15, 35.91, 37.72],
+}
+
+
+def eval_images():
+    """768x512 crops: unseen-seed synthetic + the reference's natural
+    assets (prova/detail crops)."""
+    from train_flagship import _load_assets, make_batch
+
+    rng = np.random.default_rng(10_000)  # seeds never used in training
+    imgs = list(make_batch(rng, [], 4, 768)[:, :, :512])  # synthetic-only
+    for a in _load_assets():
+        ah, aw = a.shape[:2]
+        if ah >= H and aw >= W:
+            imgs.append(a[:H, :W])
+            imgs.append(a[ah - H :, aw - W :])
+    return np.stack(imgs[:8])
+
+
+def main():
+    from train_flagship import load_params_npz
+
+    from resdsic_tpu.models import WACNN, WACNNCodec
+
+    art = REPO / "artifacts" / "cnn_trained_bf16.npz"
+    if not art.exists():
+        print("no trained artifact; run tools/train_flagship.py first",
+              file=sys.stderr)
+        sys.exit(1)
+
+    print(f"devices: {jax.devices()}", flush=True)
+    model = WACNN()  # f32 eval (quality numbers)
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    params = load_params_npz(str(art), params)
+
+    x = jnp.asarray(eval_images())
+    b = x.shape[0]
+
+    # --- likelihood-estimated bpp + distortion (forward path) ---
+    out = jax.jit(lambda p, xx: model.apply(p, xx, training=False))(params, x)
+    num_pixels = b * H * W
+    est_bpp = float(sum(
+        -jnp.sum(jnp.log2(l)) for l in out["likelihoods"].values()
+    )) / num_pixels
+    mse = float(jnp.mean((out["x_hat"] - x) ** 2))
+    psnr = -10 * np.log10(mse)
+
+    # --- real-codec bpp (host rANS, reference-format streams) ---
+    codec = WACNNCodec(model, params)
+    codec.update()
+    enc = codec.compress(x)
+    real_bytes = sum(len(s) for g in enc["strings"] for s in g)
+    real_bpp = real_bytes * 8 / num_pixels
+    rec = codec.decompress(enc["strings"], enc["shape"])
+    mse_r = float(jnp.mean((jnp.clip(rec["x_hat"], 0, 1) - x) ** 2))
+    psnr_r = -10 * np.log10(mse_r)
+
+    gap = abs(real_bpp - est_bpp) / max(est_bpp, 1e-9)
+    result = {
+        "images": int(b),
+        "resolution": [H, W],
+        "estimated_bpp": round(est_bpp, 5),
+        "real_codec_bpp": round(real_bpp, 5),
+        "estimate_vs_real_gap": round(gap, 5),
+        "gap_ok_lt_2pct": bool(gap < 0.02),
+        "psnr_forward": round(psnr, 3),
+        "psnr_real_codec": round(psnr_r, 3),
+        "anchors_kodak_cnn": ANCHORS,
+        "note": (
+            "trained on the deterministic synthetic+asset recipe "
+            "(tools/train_flagship.py) — published Kodak anchors shown "
+            "for context; content differs so RD parity vs anchors is not "
+            "claimed (published checkpoints unreachable: no egress)"
+        ),
+    }
+    print(json.dumps(result, indent=2))
+    (REPO / "artifacts" / "rd_point.json").write_text(
+        json.dumps(result, indent=2)
+    )
+    (REPO / "docs" / "RD_r3.json").write_text(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
