@@ -19,11 +19,52 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_conv import _conv3x3_xla, det_conv3x3, pallas_conv_enabled
+
 Dtype = Any
 
 
+class _Conv3x3S1(nn.Module):
+    """3x3 stride-1 conv with a deterministic Pallas execution path.
+
+    Param layout (kernel HWIO + bias under this module's scope) matches
+    nn.Conv exactly, so checkpoints and torch converters are unaffected.
+    On TPU the forward runs as a Pallas kernel (ops/pallas_conv.py) whose
+    compiled artifact is independent of the enclosing XLA program —
+    required for the codec's cross-program bit-identity contract.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+        else:
+            bias = jnp.zeros((self.features,), jnp.float32)
+        if pallas_conv_enabled():
+            return det_conv3x3(x, kernel, bias, self.dtype)
+        return _conv3x3_xla(x, kernel, bias, compute_dtype=self.dtype)
+
+
 class Conv(nn.Module):
-    """2D convolution, torch-style symmetric padding k//2."""
+    """2D convolution, torch-style symmetric padding k//2.
+
+    The 3x3/stride-1 case routes through the deterministic Pallas conv on
+    TPU (see _Conv3x3S1) — every decoder-side prediction transform in the
+    codec (hyper synthesis, cc mu/scale, LRP) is built from these.
+    """
 
     features: int
     kernel_size: int = 5
@@ -33,6 +74,11 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.kernel_size == 3 and self.stride == 1 and x.ndim == 4:
+            return _Conv3x3S1(
+                self.features, use_bias=self.use_bias, dtype=self.dtype,
+                name="conv",
+            )(x)
         p = self.kernel_size // 2
         return nn.Conv(
             features=self.features,
