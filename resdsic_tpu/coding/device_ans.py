@@ -681,3 +681,52 @@ def values_to_bins(
 def bins_to_values(bins: jax.Array, rows: jax.Array, tables: DeviceAnsTables) -> jax.Array:
     """Per-row bins -> integer symbol values (decoder side)."""
     return bins + tables.offset[rows]
+
+
+# -- lossless outlier sidecar ------------------------------------------------
+#
+# The in-stream coder clamps out-of-support symbols (and the significance-
+# split value planes cap per-lane nonzeros), which would lose information;
+# the reference bypass-codes such outliers losslessly (SURVEY §2.7,
+# csrc/rans.cpp:134-152 escape path). The device paths recover losslessness
+# with a SIDECAR: the encoder collects (flat position, value delta) pairs
+# for every element whose decodable value differs from the true quantized
+# symbol, the codec driver appends them to the blob, and the decoder
+# scatters the deltas back onto the decoded planes BEFORE any downstream
+# use — so both sides reconstruct from the TRUE values and the coded
+# roundtrip is bit-exact even on saturating inputs.
+
+
+def collect_outliers(
+    deltas: jax.Array, cap: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Rank-select the nonzero entries of a (B, N) delta tensor.
+
+    Returns (pos (B, cap) int32 padded with N, dval (B, cap) int32,
+    n (B,) int32 true counts — may exceed cap, callers must check).
+    """
+    b, n = deltas.shape
+    nz = deltas != 0
+    rank = jnp.cumsum(nz.astype(jnp.int32), axis=1)
+    dest = jnp.where(nz, rank - 1, cap)  # overflow/non-outliers -> dropped
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    pos_src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    pos = jnp.full((b, cap), n, jnp.int32).at[rows, dest].set(
+        pos_src, mode="drop"
+    )
+    dval = jnp.zeros((b, cap), jnp.int32).at[rows, dest].set(
+        deltas, mode="drop"
+    )
+    return pos, dval, rank[:, -1]
+
+
+def scatter_outliers(
+    pos: jax.Array, dval: jax.Array, n: int
+) -> jax.Array:
+    """Dense (B, N) int32 delta tensor from sidecar pairs (pads dropped)."""
+    b, cap = pos.shape
+    dense = jnp.zeros((b, n), jnp.int32)
+    if cap == 0:
+        return dense
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    return dense.at[rows, pos].add(dval, mode="drop")

@@ -146,9 +146,15 @@ class WACNNCodec:
         # to a small bucket above the workload's observed counts.max();
         # overflow re-dispatches at the next power of two (warned, rare).
         self.coded_word_cap = None
+        # lossless outlier sidecar budget (max out-of-support symbols per
+        # image recovered via the blob's sidecar; overflow re-dispatches at
+        # the exact bucketed count). 0 disables (round-2 clamp behavior).
+        self.sidecar_cap = 512
         self._encode_coded_fn = jax.jit(
             functools.partial(model.apply, method="encode_coded"),
-            static_argnames=("lanes", "cap", "split_consts", "split_capv"),
+            static_argnames=(
+                "lanes", "cap", "split_consts", "split_capv", "sidecar_cap",
+            ),
         )
         self._decode_coded_fn = jax.jit(
             functools.partial(model.apply, method="decode_coded"),
@@ -174,11 +180,10 @@ class WACNNCodec:
                 stacklevel=3,
             )
 
-    def _coding_loss(self, out: Dict[str, Any]) -> int:
-        """Inspect the device encoder's loss counters; returns the number
-        of lost symbols (policy dispatch happens in the caller so
-        'fallback' can re-encode). n_bad_rows is an internal invariant,
-        never a policy matter — it always raises."""
+    @staticmethod
+    def _check_bad_rows(out: Dict[str, Any]) -> None:
+        """n_bad_rows is an internal invariant, never a policy matter —
+        it always raises."""
         n_bad = int(np.asarray(out.get("n_bad_rows", 0)))
         if n_bad:
             raise RuntimeError(
@@ -187,6 +192,14 @@ class WACNNCodec:
                 "significance-split coder (map_rows_const would silently "
                 "mis-map them)"
             )
+
+    def _coding_loss(self, out: Dict[str, Any]) -> int:
+        """Inspect the device encoder's loss counters; returns the number
+        of lost symbols (policy dispatch happens in the caller so
+        'fallback' can re-encode). Only consulted when the lossless
+        sidecar is disabled — with a sidecar the clamp/overflow counters
+        are recovered losslessly and carry no policy weight."""
+        self._check_bad_rows(out)
         n_clamp = int(np.asarray(out.get("n_clamped", 0)))
         n_over = int(np.asarray(out.get("n_overflow", 0)))
         n = n_clamp + n_over
@@ -260,9 +273,14 @@ class WACNNCodec:
         q: float = 0.0,
         has_prog: bool = False,
         capv: int = 0,
+        sidecar=None,
     ) -> bytes:
-        flags = (1 if split else 0) | (2 if has_prog else 0)
-        return (
+        flags = (
+            (1 if split else 0)
+            | (2 if has_prog else 0)
+            | (4 if sidecar is not None else 0)
+        )
+        blob = (
             _BLOB_HEADER.pack(
                 _BLOB_MAGIC, _BLOB_VERSION, flags, 0,
                 states_row.shape[0], capv, float(q),
@@ -271,6 +289,15 @@ class WACNNCodec:
             + counts_row.astype("<u4").tobytes()
             + words.astype("<u2").tobytes()
         )
+        if sidecar is not None:
+            # lossless outlier sidecar: [u32 n][n x u32 pos][n x i32 delta]
+            pos, dval = sidecar
+            blob += (
+                struct.pack("<I", len(pos))
+                + pos.astype("<u4").tobytes()
+                + dval.astype("<i4").tobytes()
+            )
+        return blob
 
     @staticmethod
     def _parse_blob(blob: bytes) -> Dict[str, Any]:
@@ -293,16 +320,36 @@ class WACNNCodec:
             )
         if len(blob) < hs + 8 * lanes:
             raise CodedStreamError("blob truncated before the lane header")
-        return {
+        counts = np.frombuffer(blob, "<u4", lanes, offset=hs + 4 * lanes)
+        n_words = int(counts.sum())
+        woff = hs + 8 * lanes
+        if len(blob) < woff + 2 * n_words:
+            raise CodedStreamError("blob truncated inside the word stream")
+        out = {
             "split": bool(flags & 1),
             "has_prog": bool(flags & 2),
             "lanes": int(lanes),
             "capv": int(capv),
             "q": float(q),
             "states": np.frombuffer(blob, "<u4", lanes, offset=hs),
-            "counts": np.frombuffer(blob, "<u4", lanes, offset=hs + 4 * lanes),
-            "words": np.frombuffer(blob, "<u2", offset=hs + 8 * lanes),
+            "counts": counts,
+            "words": np.frombuffer(blob, "<u2", n_words, offset=woff),
+            "outliers": None,
         }
+        if flags & 4:  # lossless outlier sidecar
+            soff = woff + 2 * n_words
+            if len(blob) < soff + 4:
+                raise CodedStreamError("blob truncated before the sidecar")
+            (n_out,) = struct.unpack_from("<I", blob, soff)
+            if len(blob) < soff + 4 + 8 * n_out:
+                raise CodedStreamError("blob truncated inside the sidecar")
+            out["outliers"] = (
+                np.frombuffer(blob, "<u4", n_out, offset=soff + 4).astype(
+                    np.int32
+                ),
+                np.frombuffer(blob, "<i4", n_out, offset=soff + 4 + 4 * n_out),
+            )
+        return out
 
     @classmethod
     def _parse_blobs(cls, blobs: Sequence[bytes]) -> Dict[str, Any]:
@@ -327,8 +374,25 @@ class WACNNCodec:
             if b
             else np.zeros(0, np.uint16)
         )
+        # batch the per-image sidecars to a shared static width (bucketed);
+        # pad positions far out of range so the decode scatter drops them
+        sidecar = None
+        if any(p["outliers"] is not None for p in parsed):
+            omax = max(
+                len(p["outliers"][0]) if p["outliers"] is not None else 0
+                for p in parsed
+            )
+            K = max(16, 1 << max(omax - 1, 0).bit_length())
+            pos = np.full((b, K), np.int32(1 << 30), np.int32)
+            dval = np.zeros((b, K), np.int32)
+            for i, p in enumerate(parsed):
+                if p["outliers"] is not None:
+                    op, od = p["outliers"]
+                    pos[i, : len(op)] = op
+                    dval[i, : len(od)] = od
+            sidecar = (pos, dval)
         return {**h0, "states": states, "counts": counts, "flat": flat,
-                "batch": b, "L": L}
+                "batch": b, "L": L, "sidecar": sidecar}
 
     def _check_drained(self, drained) -> None:
         if self.decode_check and not bool(np.asarray(drained)):
@@ -462,12 +526,32 @@ class WACNNCodec:
         )
         if self.coded_word_cap:
             skw["cap"] = int(self.coded_word_cap)
+        sk = int(self.sidecar_cap or 0)
         out = self._encode_coded_fn(
-            self.params, x, self.dev_tables, lanes=L, **skw
+            self.params, x, self.dev_tables, lanes=L, sidecar_cap=sk, **skw
         )
         for k in ("counts", "states", "n_clamped", "n_overflow", "n_bad_rows"):
             out[k].copy_to_host_async()
-        if self._coding_loss(out) and self.on_coding_loss == "fallback":
+        if sk:
+            # clamp/overflow are recovered losslessly via the sidecar; only
+            # a per-image outlier count above the static budget needs a
+            # re-dispatch (exact, so the retry always fits)
+            self._check_bad_rows(out)
+            n_out = np.asarray(out["n_outliers"])
+            omax = int(n_out.max()) if n_out.size else 0
+            if omax > sk:
+                sk = self._bucket(omax, lo=16)
+                warnings.warn(
+                    f"outlier sidecar overflow ({omax} > {self.sidecar_cap}); "
+                    f"re-dispatching with sidecar_cap={sk}",
+                    RuntimeWarning,
+                )
+                out = self._encode_coded_fn(
+                    self.params, x, self.dev_tables, lanes=L,
+                    sidecar_cap=sk, **skw
+                )
+                n_out = np.asarray(out["n_outliers"])
+        elif self._coding_loss(out) and self.on_coding_loss == "fallback":
             result = self.compress(x, return_debug=return_debug)
             result["format"] = "host"
             return result
@@ -486,11 +570,14 @@ class WACNNCodec:
             )
             skw.pop("cap", None)
             out = self._encode_coded_fn(
-                self.params, x, self.dev_tables, lanes=L, cap=cap2, **skw
+                self.params, x, self.dev_tables, lanes=L, cap=cap2,
+                sidecar_cap=sk, **skw,
             )
             counts = np.asarray(out["counts"]).astype(np.uint32)
             states = np.asarray(out["states"]).astype(np.uint32)
             cap = int(out["words"].shape[1])
+            if sk:
+                n_out = np.asarray(out["n_outliers"])
         cap_fetch = min(self._bucket(max(cmax, 1), lo=16), cap)
         dense = np.asarray(
             self._dense_prefix(out["words"], cap_fetch)
@@ -500,9 +587,18 @@ class WACNNCodec:
 
         b = counts.shape[0]
         lane_words = self._extract_lane_words(dense, counts, b, L)
+        if sk:
+            opos = np.asarray(out["outlier_pos"])
+            odel = np.asarray(out["outlier_delta"])
+            sidecars = [
+                (opos[i, : n_out[i]], odel[i, : n_out[i]]) for i in range(b)
+            ]
+        else:
+            sidecars = [None] * b
         strings = [
             self._pack_blob(
-                states[i], counts[i], lane_words[i], split, capv=capv
+                states[i], counts[i], lane_words[i], split, capv=capv,
+                sidecar=sidecars[i],
             )
             for i in range(b)
         ]
@@ -544,6 +640,9 @@ class WACNNCodec:
             if hdr["split"]
             else {}
         )
+        if hdr["sidecar"] is not None:
+            skw["outlier_pos"] = jnp.asarray(hdr["sidecar"][0])
+            skw["outlier_delta"] = jnp.asarray(hdr["sidecar"][1])
         x_hat, y_hat, drained = self._decode_coded_fn(
             self.params,
             jnp.asarray(padded),
@@ -795,7 +894,10 @@ class ScalableCodec(WACNNCodec):
         )
         self._encode_coded_fn = jax.jit(
             functools.partial(model.apply, method="encode_coded_scalable"),
-            static_argnames=("q", "lanes", "cap", "split_consts", "split_capv"),
+            static_argnames=(
+                "q", "lanes", "cap", "split_consts", "split_capv",
+                "sidecar_cap",
+            ),
         )
         self._decode_coded_fn = jax.jit(
             functools.partial(model.apply, method="decode_coded_scalable"),
@@ -857,12 +959,30 @@ class ScalableCodec(WACNNCodec):
         )
         if self.coded_word_cap:
             skw["cap"] = int(self.coded_word_cap)
+        sk = int(self.sidecar_cap or 0)
         out = self._encode_coded_fn(
-            self.params, x, self.dev_tables, q=q, lanes=L, **skw
+            self.params, x, self.dev_tables, q=q, lanes=L, sidecar_cap=sk,
+            **skw,
         )
         for k in ("counts", "states", "n_clamped", "n_overflow", "n_bad_rows"):
             out[k].copy_to_host_async()
-        if self._coding_loss(out) and self.on_coding_loss == "fallback":
+        if sk:
+            self._check_bad_rows(out)
+            n_out = np.asarray(out["n_outliers"])
+            omax = int(n_out.max()) if n_out.size else 0
+            if omax > sk:
+                sk = self._bucket(omax, lo=16)
+                warnings.warn(
+                    f"outlier sidecar overflow ({omax} > {self.sidecar_cap}); "
+                    f"re-dispatching with sidecar_cap={sk}",
+                    RuntimeWarning,
+                )
+                out = self._encode_coded_fn(
+                    self.params, x, self.dev_tables, q=q, lanes=L,
+                    sidecar_cap=sk, **skw,
+                )
+                n_out = np.asarray(out["n_outliers"])
+        elif self._coding_loss(out) and self.on_coding_loss == "fallback":
             result = self.compress(
                 x, quality=quality, return_debug=return_debug
             )
@@ -882,11 +1002,13 @@ class ScalableCodec(WACNNCodec):
             skw.pop("cap", None)
             out = self._encode_coded_fn(
                 self.params, x, self.dev_tables, q=q, lanes=L, cap=cap2,
-                **skw,
+                sidecar_cap=sk, **skw,
             )
             counts = np.asarray(out["counts"]).astype(np.uint32)
             states = np.asarray(out["states"]).astype(np.uint32)
             cap = int(out["words"].shape[1])
+            if sk:
+                n_out = np.asarray(out["n_outliers"])
         cap_fetch = min(self._bucket(max(cmax, 1), lo=16), cap)
         dense = np.asarray(
             self._dense_prefix(out["words"], cap_fetch)
@@ -897,10 +1019,18 @@ class ScalableCodec(WACNNCodec):
         b = counts.shape[0]
         with_prog = out.get("zp_shape") is not None
         lane_words = self._extract_lane_words(dense, counts, b, L)
+        if sk:
+            opos = np.asarray(out["outlier_pos"])
+            odel = np.asarray(out["outlier_delta"])
+            sidecars = [
+                (opos[i, : n_out[i]], odel[i, : n_out[i]]) for i in range(b)
+            ]
+        else:
+            sidecars = [None] * b
         strings = [
             self._pack_blob(
                 states[i], counts[i], lane_words[i], split,
-                q=q, has_prog=with_prog, capv=capv,
+                q=q, has_prog=with_prog, capv=capv, sidecar=sidecars[i],
             )
             for i in range(b)
         ]
@@ -975,6 +1105,9 @@ class ScalableCodec(WACNNCodec):
             if hdr["split"]
             else {}
         )
+        if hdr["sidecar"] is not None:
+            skw["outlier_pos"] = jnp.asarray(hdr["sidecar"][0])
+            skw["outlier_delta"] = jnp.asarray(hdr["sidecar"][1])
         x_hat, y_hat, drained = self._decode_coded_fn(
             self.params,
             jnp.asarray(padded),

@@ -582,6 +582,7 @@ class ResWACNNSharedEntropy(WACNN):
         split_tables=None,
         split_consts=None,
         split_capv: int = 0,
+        sidecar_cap: int = 512,
     ):
         from ...coding.device_ans import (
             ans_encode_packed,
@@ -595,6 +596,8 @@ class ResWACNNSharedEntropy(WACNN):
         )
 
         split = split_tables is not None
+        sidecar = sidecar_cap > 0
+        delta_planes = [] if sidecar else None
         b = x.shape[0]
         with_prog = q != 0
         table = self._scale_table()
@@ -610,7 +613,13 @@ class ResWACNNSharedEntropy(WACNN):
             jnp.arange(z.shape[-1], dtype=jnp.int32), z_sym.shape
         )
         z_bins = values_to_bins(z_sym, z_rows, tables)
-        z_hat = bins_to_values(z_bins, z_rows, tables).astype(jnp.float32) + medians
+        z_vals = bins_to_values(z_bins, z_rows, tables)
+        if sidecar:  # decoder patches z back to the true symbols
+            delta_planes.append(
+                (z_sym.astype(jnp.int32) - z_vals).reshape(b, -1)
+            )
+            z_vals = z_sym.astype(jnp.int32)
+        z_hat = z_vals.astype(jnp.float32) + medians
         latent_means, latent_scales = self._hyper_out(z_hat)
 
         entry_planes, active_planes = [], []
@@ -665,10 +674,13 @@ class ResWACNNSharedEntropy(WACNN):
                 jnp.arange(z_prog.shape[-1], dtype=jnp.int32), zp_sym.shape
             )
             zp_bins = values_to_bins(zp_sym, zp_rows, tables)
-            z_hat_prog = (
-                bins_to_values(zp_bins, zp_rows, tables).astype(jnp.float32)
-                + medians_p
-            )
+            zp_vals = bins_to_values(zp_bins, zp_rows, tables)
+            if sidecar:
+                delta_planes.append(
+                    (zp_sym.astype(jnp.int32) - zp_vals).reshape(b, -1)
+                )
+                zp_vals = zp_sym.astype(jnp.int32)
+            z_hat_prog = zp_vals.astype(jnp.float32) + medians_p
             means_prog, scales_prog = self._hyper_synth_prog(z_hat_prog)
             add_table_plane(zp_bins, zp_rows)
             mask = (
@@ -690,6 +702,11 @@ class ResWACNNSharedEntropy(WACNN):
             vals = bins_to_values(bins, rows, tables)
             n_clamped = n_clamped + jnp.sum((raw != vals).astype(jnp.int32))
             vals = add_y_plane(bins, rows, vals)
+            if sidecar:
+                delta_planes.append(
+                    (raw.astype(jnp.int32) - vals).reshape(b, -1)
+                )
+                vals = raw.astype(jnp.int32)
             y_hat_slice = vals.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)
@@ -713,6 +730,11 @@ class ResWACNNSharedEntropy(WACNN):
                     (raw_p != vals_p).astype(jnp.int32)
                 )
                 vals_p = add_y_plane(bins_p, rows_p, vals_p)
+                if sidecar:
+                    delta_planes.append(
+                        (raw_p.astype(jnp.int32) - vals_p).reshape(b, -1)
+                    )
+                    vals_p = raw_p.astype(jnp.int32)
                 yp_hat = vals_p.astype(jnp.float32) + mu_p
                 if self.lrp_prog:
                     yp_hat = yp_hat + self._lrp_prog(i, mean_support_p, yp_hat)
@@ -734,7 +756,7 @@ class ResWACNNSharedEntropy(WACNN):
             y_hat = self._final_latent(complete, yp_hat_slices, q)
         else:
             y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        return {
+        out = {
             "words": dense.astype(jnp.uint16),
             "counts": counts,
             "states": states,
@@ -747,6 +769,16 @@ class ResWACNNSharedEntropy(WACNN):
                 jnp.zeros(z_prog.shape[1:3], jnp.int8) if with_prog else None
             ),
         }
+        if sidecar:
+            from ...coding.device_ans import collect_outliers
+
+            pos, dval, n_out = collect_outliers(
+                jnp.concatenate(delta_planes, axis=-1), sidecar_cap
+            )
+            out["outlier_pos"] = pos
+            out["outlier_delta"] = dval
+            out["n_outliers"] = n_out
+        return out
 
     def decode_coded_scalable(
         self,
@@ -762,6 +794,8 @@ class ResWACNNSharedEntropy(WACNN):
         split_tables=None,
         split_consts=None,
         split_capv: int = 0,
+        outlier_pos=None,  # (B, K) int32 sidecar positions (pad = out of range)
+        outlier_delta=None,  # (B, K) int32 sidecar value deltas
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         from ...coding.device_ans import (
             ans_decode_init,
@@ -769,6 +803,7 @@ class ResWACNNSharedEntropy(WACNN):
             bins_to_values,
             lanes_to_plane,
             plane_to_lanes,
+            scatter_outliers,
             split_decode_plane,
         )
 
@@ -778,12 +813,34 @@ class ResWACNNSharedEntropy(WACNN):
         medians = self.entropy_bottleneck.medians()
         carry = ans_decode_init(states, counts, words, cap)
 
+        # lossless sidecar: dense delta tensor over the concatenated plane
+        # sequence (same order as the encoder's delta_planes), patched onto
+        # each decoded plane before any downstream use
+        sc = self.slice_ch
+        n_y = (zh * 4) * (zw * 4) * sc
+        n_tot = zh * zw * zc + self.num_slices * n_y
+        if with_prog:
+            _, zph, zpw, zpc = zp_shape
+            n_tot += zph * zpw * zpc + self.num_slices * n_y
+        delta_dense = None
+        delta_off = [0]  # running offset (mutated by take_delta)
+        if outlier_pos is not None and outlier_pos.shape[1] > 0:
+            delta_dense = scatter_outliers(outlier_pos, outlier_delta, n_tot)
+
+        def take_delta(vals):
+            if delta_dense is None:
+                return vals
+            n = int(np.prod(vals.shape[1:]))
+            seg = delta_dense[:, delta_off[0] : delta_off[0] + n]
+            delta_off[0] += n
+            return vals + seg.reshape(vals.shape)
+
         def dec_plane(carry, rows):
             shp = rows.shape
             rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
             carry, bins_l = ans_decode_plane(carry, rows_l, tables)
             bins = lanes_to_plane(bins_l, int(np.prod(shp[1:]))).reshape(shp)
-            return carry, bins_to_values(bins, rows, tables)
+            return carry, take_delta(bins_to_values(bins, rows, tables))
 
         def dec_y_plane(carry, rows):
             if not split:
@@ -794,7 +851,7 @@ class ResWACNNSharedEntropy(WACNN):
                 carry, rows_l, split_tables, split_consts, capv=split_capv
             )
             vals = lanes_to_plane(vals_l, int(np.prod(shp[1:]))).reshape(shp)
-            return carry, vals
+            return carry, take_delta(vals)
 
         eb_base = jnp.int32(64)
         z_rows = eb_base + jnp.broadcast_to(

@@ -350,6 +350,7 @@ class WACNN(nn.Module):
         split_tables=None,
         split_consts=None,
         split_capv: int = 0,
+        sidecar_cap: int = 512,
     ):
         """Full encoder + on-device rANS. Returns dense words + header.
 
@@ -364,14 +365,22 @@ class WACNN(nn.Module):
         slice codes as [binary significance plane, dense nonzero-value
         plane]: the zero/nonzero decision is pure-ALU rANS, and only the
         sparse nonzero residuals pay the table-gather throughput floor.
-        Nonzeros beyond the per-lane value cap are coerced to zero on
-        BOTH sides (counted in n_overflow; the codec driver's
-        on_coding_loss policy falls back to the lossless host coder when
-        nonzero, so the coercion never silently corrupts served output).
+
+        Lossless outlier sidecar (sidecar_cap > 0, the default): every
+        element whose in-stream decodable value differs from the true
+        quantized symbol — CDF-support clamps AND split-cap coercions —
+        is emitted as a (flat position, delta) pair (device_ans.
+        collect_outliers), the per-image reconstruction uses the TRUE
+        values, and decode_coded patches the decoded planes before any
+        downstream use. The coded roundtrip is then bit-exact lossless
+        (the reference achieves the same via escape/bypass coding,
+        SURVEY §2.7); only a per-image outlier count above sidecar_cap
+        (checked by the driver via n_outliers) forces the host-coder
+        fallback. sidecar_cap=0 restores the round-2 clamp-on-both-sides
+        behavior.
 
         Loss counters (all zero at trained-model statistics):
           n_clamped:  symbols clamped to the row's CDF support
-                      (the reference bypass-codes these losslessly)
           n_overflow: split-mode nonzeros coerced past the per-lane cap
           n_bad_rows: split-plane rows outside the const domain
                       (internal invariant violation — must stay 0)
@@ -386,6 +395,7 @@ class WACNN(nn.Module):
         )
 
         split = split_tables is not None
+        sidecar = sidecar_cap > 0
 
         y = self._seq(self.g_a, x)
         z = self._seq(self.h_a, y)
@@ -399,7 +409,13 @@ class WACNN(nn.Module):
         )
         z_bins = values_to_bins(z_sym, z_rows, tables)
         z_vals = bins_to_values(z_bins, z_rows, tables)
-        z_hat = z_vals.astype(jnp.float32) + medians
+        # with a sidecar the decoder patches z back to the true symbols, so
+        # the encoder's z_hat must use them too
+        z_used = z_sym.astype(jnp.int32) if sidecar else z_vals
+        delta_planes = [
+            (z_sym.astype(jnp.int32) - z_vals).reshape(b, -1)
+        ] if sidecar else None
+        z_hat = z_used.astype(jnp.float32) + medians
 
         latent_means, latent_scales = self._hyper_out(z_hat)
 
@@ -467,6 +483,11 @@ class WACNN(nn.Module):
                     vals_coerced, vals.reshape(b, -1).shape[1]
                 ).reshape(vals.shape)
 
+            if sidecar:
+                delta_planes.append(
+                    (raw.astype(jnp.int32) - vals).reshape(b, -1)
+                )
+                vals = raw.astype(jnp.int32)
             y_hat_slice = vals.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)
@@ -478,7 +499,7 @@ class WACNN(nn.Module):
         if cap <= 0:
             cap = max(128, t_total // 16)
         dense, counts = compact_words_dense(flags, words, cap=cap)
-        return {
+        out = {
             "words": dense.astype(jnp.uint16),  # (B*lanes, cap) per-lane rows
             "counts": counts,  # (B, lanes) int32
             "states": states,  # (B, lanes) uint32
@@ -487,6 +508,16 @@ class WACNN(nn.Module):
             "n_bad_rows": n_bad_rows,
             "y_hat": jnp.concatenate(y_hat_slices, axis=-1),
         }
+        if sidecar:
+            from ..coding.device_ans import collect_outliers
+
+            pos, dval, n_out = collect_outliers(
+                jnp.concatenate(delta_planes, axis=-1), sidecar_cap
+            )
+            out["outlier_pos"] = pos
+            out["outlier_delta"] = dval
+            out["n_outliers"] = n_out
+        return out
 
     def decode_coded(
         self,
@@ -500,14 +531,21 @@ class WACNN(nn.Module):
         split_tables=None,
         split_consts=None,
         split_capv: int = 0,
+        outlier_pos=None,  # (B, K) int32 sidecar positions (pad = n_tot)
+        outlier_delta=None,  # (B, K) int32 sidecar value deltas
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Single-dispatch full decode: device rANS + slice loop + g_s.
 
         Determinism note: this program recomputes latent means/scales and
         per-slice mu/scale/rows from z_hat — the same subgraphs the encoder
-        fused into encode_coded. Bit-identity of the two compilations is
-        asserted by WACNNCodec.selftest_coded (the same empirical contract
-        the stepped decode path relies on, codec.py determinism rule).
+        fused into encode_coded. The parameter path runs on deterministic
+        Pallas conv kernels (ops/pallas_conv.py) so the two compilations
+        agree bit-for-bit; WACNNCodec.selftest_coded asserts it and the
+        drained-stream check guards every production decode.
+
+        outlier_pos/outlier_delta (the blob's lossless sidecar, see
+        encode_coded) are scattered onto the decoded planes BEFORE any
+        downstream use, mirroring the encoder's true-value reconstruction.
         """
         from ..coding.device_ans import (
             ans_decode_init,
@@ -515,11 +553,21 @@ class WACNN(nn.Module):
             bins_to_values,
             lanes_to_plane,
             plane_to_lanes,
+            scatter_outliers,
         )
 
         split = split_tables is not None
         b, zh, zw, zc = z_shape
         medians = self.entropy_bottleneck.medians()
+
+        n_z = zh * zw * zc
+        sc = self.slice_ch
+        n_y = (zh * 4) * (zw * 4) * sc
+        delta_dense = None
+        if outlier_pos is not None and outlier_pos.shape[1] > 0:
+            delta_dense = scatter_outliers(
+                outlier_pos, outlier_delta, n_z + self.num_slices * n_y
+            )
 
         carry = ans_decode_init(states, counts, words, cap)
 
@@ -531,14 +579,14 @@ class WACNN(nn.Module):
         carry, z_bins_l = ans_decode_plane(carry, z_rows_l, tables)
         z_bins = lanes_to_plane(z_bins_l, zh * zw * zc).reshape(b, zh, zw, zc)
         z_vals = bins_to_values(z_bins, z_rows, tables)
+        if delta_dense is not None:
+            z_vals = z_vals + delta_dense[:, :n_z].reshape(z_vals.shape)
         z_hat = z_vals.astype(jnp.float32) + medians
 
         latent_means, latent_scales = self._hyper_out(z_hat)
 
         table = self._scale_table()
-        sc = self.slice_ch
         yh, yw = zh * 4, zw * 4
-        n_y = yh * yw * sc
         y_hat_slices = []
         for i in range(self.num_slices):
             support = self._support(y_hat_slices)
@@ -559,6 +607,11 @@ class WACNN(nn.Module):
                     capv=split_capv,
                 )
                 vals = lanes_to_plane(vals_l, n_y).reshape(b, yh, yw, sc)
+            if delta_dense is not None:
+                off = n_z + i * n_y
+                vals = vals + delta_dense[:, off : off + n_y].reshape(
+                    vals.shape
+                )
             y_hat_slice = vals.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)

@@ -253,11 +253,12 @@ def test_coded_strings_are_per_image(codec, x):
 
 
 def test_coding_loss_fallback_is_lossless(codec, x):
-    """Untrained weights clamp symbols to the CDF support; the default
-    policy must transparently fall back to the lossless host coder and
-    the roundtrip must be bit-exact INCLUDING the outliers the device
-    path would have clamped."""
+    """With the sidecar disabled, untrained weights clamp symbols to the
+    CDF support; the fallback policy must transparently re-encode via the
+    lossless host coder and the roundtrip must be bit-exact INCLUDING the
+    outliers the device path would have clamped."""
     codec.on_coding_loss = "fallback"
+    codec.sidecar_cap = 0
     try:
         with pytest.warns(RuntimeWarning, match="falling back"):
             out = codec.compress_coded(x, return_debug=True)
@@ -268,17 +269,74 @@ def test_coding_loss_fallback_is_lossless(codec, x):
         )
     finally:
         codec.on_coding_loss = "warn"
+        codec.sidecar_cap = 512
 
 
 def test_coding_loss_raise(codec, x):
     from resdsic_tpu.models.codec import CodingLossError
 
     codec.on_coding_loss = "raise"
+    codec.sidecar_cap = 0
     try:
         with pytest.raises(CodingLossError, match="clamped"):
             codec.compress_coded(x)
     finally:
         codec.on_coding_loss = "warn"
+        codec.sidecar_cap = 512
+
+
+def test_sidecar_coded_roundtrip_is_lossless(codec, x):
+    """The lossless outlier sidecar (default) keeps saturating inputs on
+    the device-ans path: every clamped symbol is recovered via the blob's
+    sidecar and the roundtrip is bit-exact — the reference achieves the
+    same with escape/bypass coding (SURVEY §2.7, rans.cpp:134-152)."""
+    import warnings as _w
+
+    enc = codec._encode_coded_fn(
+        codec.params, x, codec.dev_tables, lanes=codec.coded_lanes,
+        sidecar_cap=512,
+    )
+    assert int(np.asarray(enc["n_clamped"])) > 0  # saturation engineered
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # no loss warnings on the sidecar path
+        out = codec.compress_coded(x, return_debug=True)
+    assert out["format"] == "device-ans"
+    rec = codec.decompress_coded(out["strings"], out["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+    )
+
+
+def test_sidecar_overflow_redispatches(codec, x):
+    """A sidecar budget below the true outlier count re-dispatches at the
+    exact bucketed count and still roundtrips bit-exactly."""
+    codec.sidecar_cap = 2
+    try:
+        with pytest.warns(RuntimeWarning, match="sidecar overflow"):
+            out = codec.compress_coded(x, return_debug=True)
+        assert out["format"] == "device-ans"
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+    finally:
+        codec.sidecar_cap = 512
+
+
+def test_sidecar_rides_blob(codec, x):
+    """Sidecar survives the blob container: parse returns the pairs and a
+    truncated sidecar raises."""
+    from resdsic_tpu.models.codec import CodedStreamError
+
+    out = codec.compress_coded(x)
+    blob = out["strings"][0][0]
+    hdr = codec._parse_blob(blob)
+    assert hdr["outliers"] is not None
+    pos, dval = hdr["outliers"]
+    assert len(pos) == len(dval) and len(pos) > 0
+    assert np.all(dval != 0)
+    with pytest.raises(CodedStreamError, match="sidecar"):
+        codec._parse_blob(blob[:-2])
 
 
 def test_blob_header_roundtrip(codec, x):
@@ -346,9 +404,11 @@ def test_scalable_quality_mismatch_raises(scal_codec, x):
 
 def test_coding_loss_fallback_split_mode(codec, x):
     """Significance-split mode with untrained stats can both clamp and
-    overflow the per-lane cap; fallback must stay lossless."""
+    overflow the per-lane cap; with the sidecar disabled, fallback must
+    stay lossless via the host coder."""
     codec.on_coding_loss = "fallback"
     codec.coded_split = True
+    codec.sidecar_cap = 0
     try:
         with pytest.warns(RuntimeWarning, match="falling back"):
             out = codec.compress_coded(x, return_debug=True)
@@ -360,6 +420,26 @@ def test_coding_loss_fallback_split_mode(codec, x):
     finally:
         codec.coded_split = False
         codec.on_coding_loss = "warn"
+        codec.sidecar_cap = 512
+
+
+def test_sidecar_split_mode_recovers_cap_overflow(codec, x):
+    """Split mode's per-lane value-cap coercions are ALSO recovered by the
+    sidecar: device-ans format retained, roundtrip bit-exact."""
+    import warnings as _w
+
+    codec.coded_split = True
+    try:
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            out = codec.compress_coded(x, return_debug=True)
+        assert out["format"] == "device-ans"
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+    finally:
+        codec.coded_split = False
 
 
 def test_point_based_std_raw_quality_at_codec_layer():
