@@ -185,3 +185,41 @@ def test_plane_lane_layout_roundtrip():
     assert lanes.shape == (3, 16, 63)
     back = lanes_to_plane(lanes, 1000)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_divmod_u32_u16_exact():
+    """The float-reciprocal divmod must equal integer `//`/`%` exactly.
+
+    The encode scan's precondition is x < f<<16 (post-renorm rANS state);
+    the sweep covers boundary dividends around every multiple region,
+    f=1, f=0xffff, and dense random (x, f) pairs.
+    """
+    from resdsic_tpu.coding.device_ans import divmod_u32_u16
+
+    rng = np.random.default_rng(0)
+    fs = np.concatenate([
+        np.array([1, 2, 3, 5, 255, 256, 257, 0xFFFE, 0xFFFF], np.uint32),
+        rng.integers(1, 1 << 16, 2000).astype(np.uint32),
+    ])
+    # adversarial x per f: around k*f boundaries and the domain edges
+    ks = rng.integers(0, 1 << 16, fs.shape[0]).astype(np.uint64)
+    near = (ks * fs.astype(np.uint64)) % (np.uint64(1) << 32)
+    xs_list = [
+        np.zeros_like(fs),
+        fs - 1,
+        fs,
+        fs + 1,
+        (fs.astype(np.uint64) * np.uint64(1 << 16) - 1).astype(np.uint32),
+        near.astype(np.uint32),
+        np.maximum(near, 1).astype(np.uint32) - 1,
+        (near + 1).astype(np.uint32),
+    ]
+    f_all = np.tile(fs, len(xs_list))
+    x_all = np.concatenate(xs_list)
+    # enforce the precondition x < f << 16
+    lim = f_all.astype(np.uint64) << np.uint64(16)
+    x_all = np.minimum(x_all.astype(np.uint64), lim - 1).astype(np.uint32)
+
+    q, r = jax.jit(divmod_u32_u16)(jnp.asarray(x_all), jnp.asarray(f_all))
+    np.testing.assert_array_equal(np.asarray(q), x_all // f_all)
+    np.testing.assert_array_equal(np.asarray(r), x_all % f_all)
