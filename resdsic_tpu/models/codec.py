@@ -89,6 +89,13 @@ class WACNNCodec:
         # as the reference binds _EntropyCoder at EntropyModel construction
         # (entropy_models.py:17-51)
         self._enc_cls, self._dec_cls, self._buf_enc_cls = coder_classes()
+        from .. import get_entropy_coder
+
+        # host-stream coder identity: compress() tags its result with this
+        # name and decompress(coder=...) validates it — decoding an "ans"
+        # stream with the range coder (or vice versa) yields garbage or an
+        # opaque exception otherwise
+        self.coder_name = get_entropy_coder()
         self.eb_table: CdfTable | None = None
         self.gc_table: CdfTable | None = None
         self.scale_table = get_scale_table()
@@ -436,6 +443,17 @@ class WACNNCodec:
         if self.eb_table is None:
             raise RuntimeError("Uninitialized CDF tables — call update() first")
 
+    def _check_coder(self, coder) -> None:
+        """Validate a compress()-result coder tag against this codec's
+        bound host coder (ans | rangecoder). None (untagged legacy /
+        reference-produced streams) is accepted for compatibility."""
+        if coder is not None and coder != self.coder_name:
+            raise CodedStreamError(
+                f"bitstream was produced by the '{coder}' entropy coder but "
+                f"this codec decodes with '{self.coder_name}' — decoding "
+                "would desync; rebind with set_entropy_coder or re-encode"
+            )
+
     # -- encode --
 
     def compress(self, x: jax.Array, return_debug: bool = False) -> Dict[str, Any]:
@@ -465,6 +483,7 @@ class WACNNCodec:
         result = {
             "strings": [y_strings, z_strings],
             "shape": tuple(z_symbols.shape[1:3]),
+            "coder": self.coder_name,
         }
         if return_debug:
             result["y_hat"] = out["y_hat"]
@@ -612,7 +631,7 @@ class WACNNCodec:
             result["y_hat"] = out["y_hat"]
         return result
 
-    def decompress_coded(self, strings, shape) -> Dict[str, Any]:
+    def decompress_coded(self, strings, shape, coder=None) -> Dict[str, Any]:
         """One-dispatch decoder: device rANS + slice loop + synthesis.
 
         Self-configures from the blob headers (lanes / split mode); a
@@ -623,7 +642,9 @@ class WACNNCodec:
         """
         self._check_updated()
         if len(strings) >= 2:  # host-coder fallback container
-            return self.decompress(strings, shape, return_debug=True)
+            return self.decompress(
+                strings, shape, return_debug=True, coder=coder
+            )
         hdr = self._parse_blobs(strings[0])
         b, L = hdr["batch"], hdr["L"]
         counts, states, flat = hdr["counts"], hdr["states"], hdr["flat"]
@@ -742,7 +763,9 @@ class WACNNCodec:
         z_sym = np.stack(outs).astype(np.float32)
         return jnp.asarray(z_sym + self._medians)
 
-    def decompress(self, strings, shape, return_debug: bool = False) -> Dict[str, Any]:
+    def decompress(
+        self, strings, shape, return_debug: bool = False, coder=None
+    ) -> Dict[str, Any]:
         """Fused path: decode_begin + (num_slices-1) decode_steps +
         decode_end — one dispatch per slice instead of two, with the native
         rANS decode interleaved on the host.
@@ -756,6 +779,7 @@ class WACNNCodec:
             calls release the GIL).
         """
         self._check_updated()
+        self._check_coder(coder)
         y_strings, z_strings = strings[0], strings[1]
         z_hat = self._decode_z(z_strings, shape)
 
@@ -1046,7 +1070,9 @@ class ScalableCodec(WACNNCodec):
             result["y_hat"] = out["y_hat"]
         return result
 
-    def decompress_coded(self, strings, shape, quality=None) -> Dict[str, Any]:
+    def decompress_coded(
+        self, strings, shape, quality=None, coder=None
+    ) -> Dict[str, Any]:
         """Self-configuring scalable coded decode.
 
         quality=None (default) decodes at the blob header's own quality;
@@ -1064,7 +1090,8 @@ class ScalableCodec(WACNNCodec):
                     )
                 quality = 0.0  # 2-part container is base-only by contract
             return self.decompress(
-                strings, shape, quality=quality, return_debug=True
+                strings, shape, quality=quality, return_debug=True,
+                coder=coder,
             )
         hdr = self._parse_blobs(strings[0])
         q_hdr = hdr["q"]
@@ -1169,6 +1196,7 @@ class ScalableCodec(WACNNCodec):
             result = {
                 "strings": [y_strings, z_strings],
                 "shape": [tuple(z_symbols.shape[1:3])],
+                "coder": self.coder_name,
             }
             if return_debug:
                 result["y_hat"] = out["y_hat"]
@@ -1198,6 +1226,7 @@ class ScalableCodec(WACNNCodec):
                 tuple(z_symbols.shape[1:3]),
                 tuple(zp_symbols.shape[1:3]),
             ],
+            "coder": self.coder_name,
         }
         if return_debug:
             result["y_hat"] = out["y_hat"]
@@ -1255,6 +1284,7 @@ class ScalableCodec(WACNNCodec):
             result = {
                 "strings": [y_strings, z_strings],
                 "shape": [tuple(z_symbols.shape[1:3])],
+                "coder": self.coder_name,
             }
             if return_debug:
                 result["y_hat"] = jnp.concatenate(y_hat_slices, axis=-1)
@@ -1319,6 +1349,7 @@ class ScalableCodec(WACNNCodec):
                 tuple(z_symbols.shape[1:3]),
                 tuple(z_prog_symbols.shape[1:3]),
             ],
+            "coder": self.coder_name,
         }
         if return_debug:
             complete = [
@@ -1332,9 +1363,13 @@ class ScalableCodec(WACNNCodec):
             )
         return result
 
-    def decompress(self, strings, shape, quality=0.0, return_debug: bool = False):
+    def decompress(
+        self, strings, shape, quality=0.0, return_debug: bool = False,
+        coder=None,
+    ):
         """Fused path: one dispatch per slice (both branches fused)."""
         self._check_updated()
+        self._check_coder(coder)
         q = self._normalize_quality(quality)
         with_prog = q != 0
 
@@ -1453,8 +1488,12 @@ class ScalableCodec(WACNNCodec):
         if not np.array_equal(np.asarray(rec["y_hat"]), np.asarray(fused["y_hat"])):
             raise AssertionError("scalable decode did not reproduce encoder latents")
 
-    def decompress_stepped(self, strings, shape, quality=0.0, return_debug: bool = False):
+    def decompress_stepped(
+        self, strings, shape, quality=0.0, return_debug: bool = False,
+        coder=None,
+    ):
         self._check_updated()
+        self._check_coder(coder)
         q = self._normalize_quality(quality)
         with_prog = q != 0
 

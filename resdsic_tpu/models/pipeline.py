@@ -102,9 +102,10 @@ class StreamingCodec:
                 try:
                     import numpy as _np
 
-                    rec = self._decompress(
-                        out["strings"], out["shape"], **self._kwargs()
-                    )
+                    kw = self._kwargs()
+                    if "coder" in out:  # host-path coder identity tag
+                        kw["coder"] = out["coder"]
+                    rec = self._decompress(out["strings"], out["shape"], **kw)
                     # tiny host fetch: the only reliable completion sync on
                     # tunneled backends (block_until_ready is a no-op there)
                     _np.asarray(rec["x_hat"][:1, :1, :1])

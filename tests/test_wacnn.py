@@ -119,10 +119,26 @@ def test_codec_roundtrip_with_rangecoder(small_model):
         codec = WACNNCodec(model, params)
         codec.update()
         out = codec.compress(x, return_debug=True)
-        rec = codec.decompress(out["strings"], out["shape"], return_debug=True)
+        # host-path results carry the coder identity tag (ADVICE r2)
+        assert out["coder"] == "rangecoder"
+        rec = codec.decompress(
+            out["strings"], out["shape"], return_debug=True,
+            coder=out["coder"],
+        )
         np.testing.assert_array_equal(
             np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
         )
+        # decoding a rangecoder stream on an ans-bound codec must raise a
+        # clear error instead of desyncing
+        pkg.set_entropy_coder("ans")
+        codec_ans = WACNNCodec(model, params)
+        codec_ans.update()
+        from resdsic_tpu.models.codec import CodedStreamError
+
+        with pytest.raises(CodedStreamError, match="entropy coder"):
+            codec_ans.decompress(
+                out["strings"], out["shape"], coder=out["coder"]
+            )
     finally:
         pkg.set_entropy_coder("ans")
 
