@@ -111,20 +111,26 @@ def make_batch(rng: np.random.Generator, assets, b: int, hw: int) -> np.ndarray:
     return out
 
 
-def save_params_npz(params, path: str):
+def save_params_npz(params, path: str, full_precision: bool = False):
+    """full_precision=True keeps f32 exactly (mid-train checkpoints must
+    resume bit-identically); the default bf16 halves the final artifact."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays = {}
     for kp, v in flat:
         key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
         a = np.asarray(v)
-        if a.dtype == np.float32:
+        if a.dtype == np.float32 and not full_precision:
             # bf16 halves the artifact; stored as a u16 view because
             # np.savez cannot round-trip the ml_dtypes bfloat16 dtype
             bf = np.asarray(jnp.asarray(a).astype(jnp.bfloat16))
             arrays[key + "::bf16"] = bf.view(np.uint16)
         else:
             arrays[key] = a
-    np.savez(path, **arrays)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    import os
+
+    os.replace(tmp, path)
 
 
 def load_params_npz(path: str, like):
@@ -154,6 +160,18 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="artifacts")
     ap.add_argument("--log-every", type=int, default=200)
+    # sync-every bounds in-flight dispatches: the axon tunnel has wedged
+    # for hours when hundreds of heavy executions queue (bench.py:129-131);
+    # a tiny scalar fetch every few steps keeps the pipe short. Does not
+    # change the math — the recipe stays deterministic.
+    ap.add_argument("--sync-every", type=int, default=8)
+    ap.add_argument("--ckpt-every", type=int, default=500)
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="resume from <out>/cnn_trained_bf16.partial.npz (replays the "
+        "deterministic batch sequence up to the saved step, so the final "
+        "artifact matches an uninterrupted run of the same seed)",
+    )
     args = ap.parse_args()
 
     from resdsic_tpu.models import WACNN
@@ -177,15 +195,43 @@ def main():
     pool = [make_batch(rng, assets, args.batch, args.crop) for _ in range(24)]
     print("data pool ready", flush=True)
 
+    out = Path(args.out)
+    out.mkdir(exist_ok=True)
+    ckpt_path = str(out / "cnn_trained_bf16.partial.npz")
+    start = 0
+    if args.resume and Path(ckpt_path).exists():
+        meta = np.load(ckpt_path, allow_pickle=False)
+        start = int(meta["__step__"])
+        state = load_params_npz(ckpt_path, state)
+        for _ in range(start):
+            rng.integers(len(pool))  # replay the batch-choice stream
+        print(f"resumed at step {start}", flush=True)
+
     t0 = time.perf_counter()
     log = []
     lr = args.lr
-    best = None
-    for it in range(args.steps):
+    for it in range(start, args.steps):
         batch = jnp.asarray(pool[int(rng.integers(len(pool)))])
         state, metrics = step(
             state, batch, jax.random.key(args.seed * 1000 + it), lr, args.aux_lr
         )
+        if args.sync_every and (it + 1) % args.sync_every == 0:
+            float(metrics["loss"])  # bound in-flight tunnel dispatches
+        if args.ckpt_every and (it + 1) % args.ckpt_every == 0:
+            np_state = jax.device_get(state)
+            flat = jax.tree_util.tree_flatten_with_path(np_state)[0]
+            arrays = {
+                "/".join(
+                    str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
+                ): np.asarray(v)
+                for kp, v in flat
+            }
+            arrays["__step__"] = np.int64(it + 1)
+            tmp = ckpt_path + ".tmp.npz"
+            np.savez(tmp, **arrays)
+            import os as _os
+
+            _os.replace(tmp, ckpt_path)
         if (it + 1) % args.log_every == 0 or it == 0:
             m = {k: float(v) for k, v in metrics.items()}
             m["step"] = it + 1
@@ -198,8 +244,6 @@ def main():
                 flush=True,
             )
 
-    out = Path(args.out)
-    out.mkdir(exist_ok=True)
     save_params_npz(state.params, str(out / "cnn_trained_bf16.npz"))
     (out / "train_log.json").write_text(json.dumps(
         {"args": vars(args), "log": log}, indent=2))
