@@ -12,10 +12,10 @@ reproducible stand-in; the resulting operating point is real in the sense
 that matters for the codec: trained entropy models, trained transforms,
 symbol statistics at a chosen lambda.
 
-Run (TPU): PYTHONPATH=/root/.axon_site:. python tools/train_flagship.py \
-    --steps 6000 --lmbda 0.025
-Writes artifacts/cnn_trained_bf16.npz (bf16 params; ~150 MB, gitignored)
-and artifacts/train_log.json.
+Run (TPU): PYTHONPATH=/root/.axon_site:. bash tools/train_flagship.sh
+(chunked execution — see --max-per-run below for why)
+Writes artifacts/cnn_trained_bf16.npz (bf16 params) and
+artifacts/train_log.json.
 """
 
 from __future__ import annotations
@@ -169,9 +169,17 @@ def main():
     ap.add_argument(
         "--resume", action="store_true",
         help="resume from <out>/cnn_trained_bf16.partial.npz (replays the "
-        "deterministic batch sequence up to the saved step, so the final "
-        "artifact matches an uninterrupted run of the same seed)",
+        "deterministic batch-choice stream up to the saved step, so the "
+        "final artifact matches an uninterrupted run of the same seed)",
     )
+    # The axon tunnel client leaks per-dispatch bookkeeping: step time grows
+    # roughly linearly with the number of dispatches a process has issued
+    # (0.25 -> 4+ s/step within 600 steps). Chunked execution resets it:
+    # each process runs --max-per-run steps, checkpoints, and exits 3; the
+    # run.sh wrapper loops with --resume until exit 0. --pool-cache skips
+    # the ~4 min host-side pool synthesis on restarts.
+    ap.add_argument("--max-per-run", type=int, default=0)
+    ap.add_argument("--pool-cache", default="")
     args = ap.parse_args()
 
     from resdsic_tpu.models import WACNN
@@ -189,11 +197,28 @@ def main():
     step = make_train_step(model, RateDistortionLoss(lmbda=args.lmbda))
 
     assets = _load_assets()
-    rng = np.random.default_rng(args.seed)
-    # pre-generate a pool of batches on the 1-core host, reused shuffled —
-    # host-side image synthesis is the bottleneck otherwise
-    pool = [make_batch(rng, assets, args.batch, args.crop) for _ in range(24)]
-    print("data pool ready", flush=True)
+    # separate generators for pool synthesis vs batch choice so a cached
+    # pool leaves the batch-choice stream identical (recipe v2 — the v1
+    # single-stream recipe predates chunked execution)
+    rng_pool = np.random.default_rng(args.seed)
+    rng = np.random.default_rng(args.seed + 777)
+    if args.pool_cache and Path(args.pool_cache).exists():
+        pool_arr = np.load(args.pool_cache)
+        pool = list(pool_arr)
+        print("data pool loaded from cache", flush=True)
+    else:
+        # pre-generate a pool of batches on the 1-core host, reused
+        # shuffled — host-side image synthesis is the bottleneck otherwise
+        pool = [
+            make_batch(rng_pool, assets, args.batch, args.crop)
+            for _ in range(24)
+        ]
+        if args.pool_cache:
+            np.save(args.pool_cache + ".tmp.npy", np.stack(pool))
+            import os as _os
+
+            _os.replace(args.pool_cache + ".tmp.npy", args.pool_cache)
+        print("data pool ready", flush=True)
 
     out = Path(args.out)
     out.mkdir(exist_ok=True)
@@ -217,7 +242,10 @@ def main():
         )
         if args.sync_every and (it + 1) % args.sync_every == 0:
             float(metrics["loss"])  # bound in-flight tunnel dispatches
-        if args.ckpt_every and (it + 1) % args.ckpt_every == 0:
+        chunk_done = args.max_per_run and (it + 1 - start) >= args.max_per_run
+        if (args.ckpt_every and (it + 1) % args.ckpt_every == 0) or (
+            chunk_done and (it + 1) < args.steps
+        ):
             np_state = jax.device_get(state)
             flat = jax.tree_util.tree_flatten_with_path(np_state)[0]
             arrays = {
@@ -232,6 +260,10 @@ def main():
             import os as _os
 
             _os.replace(tmp, ckpt_path)
+        if chunk_done and (it + 1) < args.steps:
+            print(f"chunk done at step {it+1}; exiting for relaunch",
+                  flush=True)
+            raise SystemExit(3)
         if (it + 1) % args.log_every == 0 or it == 0:
             m = {k: float(v) for k, v in metrics.items()}
             m["step"] = it + 1
