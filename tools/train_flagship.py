@@ -232,11 +232,16 @@ def main():
             rng.integers(len(pool))  # replay the batch-choice stream
         print(f"resumed at step {start}", flush=True)
 
+    # keep the pool ON DEVICE (24 x ~3 MB fits HBM easily): per-step h2d
+    # uploads through the tunnel client are leaked host-side (~3 MB/step
+    # of RSS growth) and are the largest share of its per-dispatch cost
+    pool_dev = [jax.device_put(b) for b in pool]
+
     t0 = time.perf_counter()
     log = []
     lr = args.lr
     for it in range(start, args.steps):
-        batch = jnp.asarray(pool[int(rng.integers(len(pool)))])
+        batch = pool_dev[int(rng.integers(len(pool)))]
         state, metrics = step(
             state, batch, jax.random.key(args.seed * 1000 + it), lr, args.aux_lr
         )

@@ -7,8 +7,14 @@ set -u
 STEPS=${1:-6000}
 CHUNK=${CHUNK:-500}
 POOL=${POOL:-/tmp/flagship_pool.npy}
-rm -f artifacts/cnn_trained_bf16.partial.npz
-first=1
+# RESUME_START=1 continues an existing partial checkpoint instead of
+# starting over (used when re-tuning CHUNK mid-run)
+if [ "${RESUME_START:-0}" -eq 1 ]; then
+  first=0
+else
+  rm -f artifacts/cnn_trained_bf16.partial.npz
+  first=1
+fi
 while true; do
   if [ $first -eq 1 ]; then RESUME=""; first=0; else RESUME="--resume"; fi
   python tools/train_flagship.py --steps "$STEPS" --lmbda 0.025 \
