@@ -370,17 +370,27 @@ def compact_words(
 
 
 def compact_words_dense(
-    flags: jax.Array, words: jax.Array, cap: int
+    flags: jax.Array, words: jax.Array, cap: int, block: int = 32
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-lane compaction: (B,L,T) sparse -> (B*L, cap) dense.
 
-    All-integer rank-select: the position of a lane's j-th word is
-    t_j = #{t : cumsum(flags)[t] <= j} (the cumsum is nondecreasing), a
-    fused compare-and-sum over T per output slot, followed by ONE batched
-    take_along_axis. No scatter (XLA visits every candidate index of a
-    scatter — ~0.3 s for the 8M-slot encode buffer), no one-hot matmuls
-    (tiny per-lane contractions batch pathologically on the MXU), and no
-    float paths that could round a word value.
+    All-integer BLOCK-TWO-LEVEL rank-select. The single-level form (the
+    position of a lane's j-th word is t_j = #{t : cumsum(flags)[t] <= j})
+    is a fused compare-and-sum over T per output slot — O(cap*T) work and
+    cap re-reads of the (BL, T) rank array, the dominant encode-side term
+    at trained-statistics word counts (ROADMAP r3 #1). The two-level form
+    cuts it to O(T*block + cap*T/block):
+
+      1. within each block of `block` positions, rank-select the block's
+         words into a block-dense layout (compare-sum over `block`);
+      2. for each output slot j, find its block by compare-sum over the
+         T/block per-block cumulative counts (tiny), then ONE batched
+         take_along_axis from the flattened block-dense matrix.
+
+    Still no scatter (XLA visits every candidate index of a scatter —
+    ~0.3 s for the 8M-slot encode buffer), no one-hot matmuls (tiny
+    per-lane contractions batch pathologically on the MXU), and no float
+    paths that could round a word value.
 
     Returns (dense (B*L, cap) int32, counts (B, L) int32). Slots beyond a
     lane's count are zero. Caller must check counts.max() <= cap (the
@@ -390,15 +400,49 @@ def compact_words_dense(
     bl = b * l
     fl = flags.reshape(bl, t).astype(jnp.int32)
     wd = words.reshape(bl, t)
-    cum = jnp.cumsum(fl, axis=1)  # (BL, T) inclusive rank
-    counts = cum[:, -1]
+    if t <= 2 * block:  # single level: two-level bookkeeping won't pay
+        cum = jnp.cumsum(fl, axis=1)  # (BL, T) inclusive rank
+        counts = cum[:, -1]
+        j = jnp.arange(cap, dtype=jnp.int32)
+        tidx = jnp.sum(
+            (cum[:, None, :] <= j[None, :, None]).astype(jnp.int32), axis=-1
+        )  # (BL, cap)
+        dense = jnp.take_along_axis(
+            wd, jnp.minimum(tidx, t - 1), axis=1, mode="clip"
+        )
+        dense = jnp.where(j[None, :] < counts[:, None], dense, 0)
+        return dense, counts.reshape(b, l)
+
+    nb = -(-t // block)
+    tp = nb * block
+    if tp != t:
+        fl = jnp.pad(fl, ((0, 0), (0, tp - t)))
+        wd = jnp.pad(wd, ((0, 0), (0, tp - t)))
+    fb = fl.reshape(bl, nb, block)
+    cum_in = jnp.cumsum(fb, axis=2)  # (BL, nb, block) within-block rank
+    bcnt = cum_in[:, :, -1]  # (BL, nb) words per block
+    bcum = jnp.cumsum(bcnt, axis=1)  # (BL, nb) inclusive
+    counts = bcum[:, -1]
+    # level 2 first: block-dense layout (within-block rank-select)
+    jj = jnp.arange(block, dtype=jnp.int32)
+    tin = jnp.sum(
+        (cum_in[:, :, None, :] <= jj[None, None, :, None]).astype(jnp.int32),
+        axis=-1,
+    )  # (BL, nb, block)
+    wb = wd.reshape(bl, nb, block)
+    bdense = jnp.take_along_axis(wb, jnp.minimum(tin, block - 1), axis=2)
+    bdense = jnp.where(jj[None, None, :] < bcnt[:, :, None], bdense, 0)
+    # level 1: output slot j lives in block #{k : bcum[k] <= j} at offset
+    # j - (words before that block)
     j = jnp.arange(cap, dtype=jnp.int32)
-    # t index of the (j+1)-th flag; == T (clamped) when j >= count
-    tidx = jnp.sum(
-        (cum[:, None, :] <= j[None, :, None]).astype(jnp.int32), axis=-1
+    bidx = jnp.sum(
+        (bcum[:, None, :] <= j[None, :, None]).astype(jnp.int32), axis=-1
     )  # (BL, cap)
+    bidx_c = jnp.minimum(bidx, nb - 1)
+    off = jnp.take_along_axis(bcum - bcnt, bidx_c, axis=1)  # (BL, cap)
+    src = bidx_c * block + (j[None, :] - off)
     dense = jnp.take_along_axis(
-        wd, jnp.minimum(tidx, t - 1), axis=1, mode="clip"
+        bdense.reshape(bl, tp), jnp.clip(src, 0, tp - 1), axis=1
     )
     dense = jnp.where(j[None, :] < counts[:, None], dense, 0)
     return dense, counts.reshape(b, l)
