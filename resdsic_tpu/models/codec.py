@@ -46,7 +46,10 @@ class CodingLossError(RuntimeError):
 
 
 _BLOB_MAGIC = 0xD5
-_BLOB_VERSION = 1
+# v2 stores per-lane word counts as u2 (they are bounded by ~2 symbols/word
+# x lane length << 65536), halving the 8 B/lane header to 6 B — ~1 KB/image
+# at L=512. v1 (u4 counts) blobs are still read.
+_BLOB_VERSION = 2
 _BLOB_HEADER = struct.Struct("<BBBBHHf")  # magic, ver, flags, 0, lanes, capv, q
 
 # Shared pool for per-image rANS calls: the ctypes calls release the GIL, so
@@ -287,13 +290,18 @@ class WACNNCodec:
             | (2 if has_prog else 0)
             | (4 if sidecar is not None else 0)
         )
+        if counts_row.size and int(counts_row.max()) > 0xFFFF:
+            raise CodedStreamError(
+                "per-lane word count exceeds the u16 container field — "
+                "increase coded_lanes (shorter lanes) for this payload"
+            )
         blob = (
             _BLOB_HEADER.pack(
                 _BLOB_MAGIC, _BLOB_VERSION, flags, 0,
                 states_row.shape[0], capv, float(q),
             )
             + states_row.astype("<u4").tobytes()
-            + counts_row.astype("<u4").tobytes()
+            + counts_row.astype("<u2").tobytes()
             + words.astype("<u2").tobytes()
         )
         if sidecar is not None:
@@ -320,16 +328,19 @@ class WACNNCodec:
                 "not a device-ans blob (host-coder streams decode via "
                 "decompress())"
             )
-        if ver != _BLOB_VERSION:
+        if ver not in (1, _BLOB_VERSION):
             raise CodedStreamError(
                 f"unsupported device-ans container version {ver} "
-                f"(this build reads version {_BLOB_VERSION})"
+                f"(this build reads versions 1-{_BLOB_VERSION})"
             )
-        if len(blob) < hs + 8 * lanes:
+        cw = 4 if ver == 1 else 2  # v1 stored u4 lane counts
+        if len(blob) < hs + (4 + cw) * lanes:
             raise CodedStreamError("blob truncated before the lane header")
-        counts = np.frombuffer(blob, "<u4", lanes, offset=hs + 4 * lanes)
+        counts = np.frombuffer(
+            blob, f"<u{cw}", lanes, offset=hs + 4 * lanes
+        ).astype(np.uint32)
         n_words = int(counts.sum())
-        woff = hs + 8 * lanes
+        woff = hs + (4 + cw) * lanes
         if len(blob) < woff + 2 * n_words:
             raise CodedStreamError("blob truncated inside the word stream")
         out = {

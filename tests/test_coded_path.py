@@ -475,6 +475,46 @@ def test_point_based_std_raw_quality_at_codec_layer():
     assert c.selftest_coded(xx, quality=0.065)
 
 
+def test_blob_v1_container_still_decodes(codec, x):
+    """v2 halves the per-lane count field to u2; v1 (u4) containers from
+    round-2 encoders must keep decoding bit-identically."""
+    import struct
+
+    from resdsic_tpu.models import codec as codec_mod
+
+    out = codec.compress_coded(x, return_debug=True)
+    hs = codec_mod._BLOB_HEADER.size
+    v1_strings = []
+    for blob in out["strings"][0]:
+        hdr = codec._parse_blob(blob)
+        flags = (
+            (1 if hdr["split"] else 0)
+            | (2 if hdr["has_prog"] else 0)
+            | (4 if hdr["outliers"] is not None else 0)
+        )
+        v1 = (
+            codec_mod._BLOB_HEADER.pack(
+                codec_mod._BLOB_MAGIC, 1, flags, 0, hdr["lanes"],
+                hdr["capv"], hdr["q"],
+            )
+            + hdr["states"].astype("<u4").tobytes()
+            + hdr["counts"].astype("<u4").tobytes()
+            + hdr["words"].astype("<u2").tobytes()
+        )
+        if hdr["outliers"] is not None:
+            pos, dval = hdr["outliers"]
+            v1 += (
+                struct.pack("<I", len(pos))
+                + pos.astype("<u4").tobytes()
+                + dval.astype("<i4").tobytes()
+            )
+        v1_strings.append(v1)
+    rec = codec.decompress_coded([v1_strings], out["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+    )
+
+
 def test_autotune_coded_from_measured_stats(codec, x):
     """autotune_coded sizes split mode + value-cap from the probe encode's
     measured nonzero rates (VERDICT r2 weak #5: the cap must scale with
