@@ -210,25 +210,46 @@ def build_split_tables(
 # --------------------------------------------------------------------------
 
 
-def plane_to_lanes(plane: jax.Array, lanes: int) -> jax.Array:
-    """(B, n) -> (B, lanes, T) lane-blocked layout, padded at the end.
+def plane_to_lanes(
+    plane: jax.Array, lanes: int, interleave: bool = False
+) -> jax.Array:
+    """(B, n) -> (B, lanes, T) lane layout, padded at the end.
 
-    Padding positions are appended per-lane at the tail of the LAST lane
-    block; callers pad the flat (symbols, indexes) arrays themselves so
-    the pad symbols are valid (we pad with index row 0 / bin 0).
+    interleave=False (legacy, container v1/v2): lane l takes the
+    contiguous flat chunk [l*T, (l+1)*T) — spatially bursty statistics
+    (edges, occluders) land whole bursts in single lanes, so per-lane
+    word/nonzero counts have heavy tails and static caps must be sized
+    for the worst lane.
+
+    interleave=True (container v3 default): lane l takes the strided
+    positions l, l+lanes, l+2*lanes, ... — adjacent flat positions go to
+    different lanes, so each lane samples the whole plane and per-lane
+    counts concentrate binomially around the mean (caps sized at
+    mean + a few sigma, not at the burst maximum).
+
+    Zero-padding at the flat tail is valid in both layouts (row 0 /
+    bin 0 is a legal table entry).
     """
     b, n = plane.shape
     t = -(-n // lanes)
     pad = lanes * t - n
     if pad:
         plane = jnp.pad(plane, ((0, 0), (0, pad)))
+    if interleave:
+        return plane.reshape(b, t, lanes).transpose(0, 2, 1)
     return plane.reshape(b, lanes, t)
 
 
-def lanes_to_plane(lanes_arr: jax.Array, n: int) -> jax.Array:
-    """(B, lanes, T) -> (B, n), dropping tail padding."""
+def lanes_to_plane(
+    lanes_arr: jax.Array, n: int, interleave: bool = False
+) -> jax.Array:
+    """(B, lanes, T) -> (B, n), inverting plane_to_lanes' layout."""
     b = lanes_arr.shape[0]
-    return lanes_arr.reshape(b, -1)[:, :n]
+    if interleave:
+        flat = lanes_arr.transpose(0, 2, 1).reshape(b, -1)
+    else:
+        flat = lanes_arr.reshape(b, -1)
+    return flat[:, :n]
 
 
 # --------------------------------------------------------------------------

@@ -48,8 +48,11 @@ class CodingLossError(RuntimeError):
 _BLOB_MAGIC = 0xD5
 # v2 stores per-lane word counts as u2 (they are bounded by ~2 symbols/word
 # x lane length << 65536), halving the 8 B/lane header to 6 B — ~1 KB/image
-# at L=512. v1 (u4 counts) blobs are still read.
-_BLOB_VERSION = 2
+# at L=512. v3 additionally switches to the INTERLEAVED lane layout
+# (device_ans.plane_to_lanes interleave=True): spatial bursts spread
+# across lanes so per-lane word/nonzero counts concentrate around the
+# mean. v1 (u4 counts) and v2 (contiguous-layout) blobs are still read.
+_BLOB_VERSION = 3
 _BLOB_HEADER = struct.Struct("<BBBBHHf")  # magic, ver, flags, 0, lanes, capv, q
 
 # Shared pool for per-image rANS calls: the ctypes calls release the GIL, so
@@ -160,16 +163,21 @@ class WACNNCodec:
         # image recovered via the blob's sidecar; overflow re-dispatches at
         # the exact bucketed count). 0 disables (round-2 clamp behavior).
         self.sidecar_cap = 512
+        # interleaved (strided) lane layout — container v3; False emits
+        # legacy contiguous-layout v2 blobs (see device_ans.plane_to_lanes)
+        self.coded_interleave = True
         self._encode_coded_fn = jax.jit(
             functools.partial(model.apply, method="encode_coded"),
             static_argnames=(
                 "lanes", "cap", "split_consts", "split_capv", "sidecar_cap",
+                "interleave",
             ),
         )
         self._decode_coded_fn = jax.jit(
             functools.partial(model.apply, method="decode_coded"),
             static_argnames=(
                 "z_shape", "lanes", "cap", "split_consts", "split_capv",
+                "interleave",
             ),
         )
 
@@ -284,6 +292,7 @@ class WACNNCodec:
         has_prog: bool = False,
         capv: int = 0,
         sidecar=None,
+        interleave: bool = True,
     ) -> bytes:
         flags = (
             (1 if split else 0)
@@ -295,9 +304,10 @@ class WACNNCodec:
                 "per-lane word count exceeds the u16 container field — "
                 "increase coded_lanes (shorter lanes) for this payload"
             )
+        ver = _BLOB_VERSION if interleave else 2  # v2 = contiguous layout
         blob = (
             _BLOB_HEADER.pack(
-                _BLOB_MAGIC, _BLOB_VERSION, flags, 0,
+                _BLOB_MAGIC, ver, flags, 0,
                 states_row.shape[0], capv, float(q),
             )
             + states_row.astype("<u4").tobytes()
@@ -328,7 +338,7 @@ class WACNNCodec:
                 "not a device-ans blob (host-coder streams decode via "
                 "decompress())"
             )
-        if ver not in (1, _BLOB_VERSION):
+        if ver not in (1, 2, _BLOB_VERSION):
             raise CodedStreamError(
                 f"unsupported device-ans container version {ver} "
                 f"(this build reads versions 1-{_BLOB_VERSION})"
@@ -349,6 +359,7 @@ class WACNNCodec:
             "lanes": int(lanes),
             "capv": int(capv),
             "q": float(q),
+            "interleave": ver >= 3,  # v3+ = strided lane layout
             "states": np.frombuffer(blob, "<u4", lanes, offset=hs),
             "counts": counts,
             "words": np.frombuffer(blob, "<u2", n_words, offset=woff),
@@ -375,7 +386,7 @@ class WACNNCodec:
         parsed = [cls._parse_blob(s) for s in blobs]
         h0 = {
             k: parsed[0][k]
-            for k in ("split", "has_prog", "lanes", "capv", "q")
+            for k in ("split", "has_prog", "lanes", "capv", "q", "interleave")
         }
         for p in parsed[1:]:
             for k, v in h0.items():
@@ -552,7 +563,7 @@ class WACNNCodec:
         return [np.asarray(out["y_symbols"])]
 
     def autotune_coded(self, x: jax.Array, split_threshold: float = 0.30,
-                       margin: float = 1.6, **probe_kw) -> Dict[str, float]:
+                       sigmas: float = 4.0, **probe_kw) -> Dict[str, float]:
         """Size the device-coded budgets from MEASURED symbol statistics.
 
         The significance-split mode and its per-lane value cap only pay
@@ -564,10 +575,15 @@ class WACNNCodec:
         - ``coded_split`` turns on only when the mean nonzero rate is
           below ``split_threshold`` (dense residuals make the binary
           plane pure overhead);
-        - ``split_cap_frac`` is sized from the DENSEST slice's rate with
-          ``margin`` headroom (capped at the T/2 maximum) so per-lane
+        - ``split_cap_frac`` is sized from the DENSEST slice's rate plus
+          a ``sigmas``-sigma binomial tail at the per-plane lane length:
+          under the interleaved (v3) lane layout each lane samples the
+          whole plane, so per-lane nonzero counts concentrate binomially
+          around the plane mean and a few sigma of headroom makes
           value-plane overflow — recovered losslessly via the sidecar,
-          but at ~6 bytes/symbol — stays rare;
+          but at ~8 bytes/symbol — rare. (Under the legacy contiguous
+          layout spatial bursts land whole in single lanes; a 1.6x
+          multiplicative floor is kept for that case.)
         - ``coded_word_cap`` is cleared to the in-model default and
           ``sidecar_cap`` reset to DEFAULT_SIDECAR_CAP: the first
           compress_coded call after autotune re-sizes both exactly from
@@ -588,9 +604,20 @@ class WACNNCodec:
             )
         s_mean = float(np.mean(per_slice)) if per_slice else 0.0
         s_max = float(np.max(per_slice)) if per_slice else 0.0
-        self.coded_split = bool(s_mean < split_threshold)
+        h, w = int(x.shape[1]), int(x.shape[2])
+        n_plane = (h // 16) * (w // 16) * self.model.slice_ch
+        ts = max(1, -(-n_plane // self.coded_lanes))
+        tail = s_max + sigmas * float(
+            np.sqrt(max(s_max * (1.0 - s_max), 1e-6) / ts)
+        )
+        if not self.coded_interleave:
+            tail = max(tail, 1.6 * s_max)
+        # split pays only when the value plane is genuinely short: dense
+        # residuals or a tail budget near T/2 make the binary plane pure
+        # overhead on the decode scan
+        self.coded_split = bool(s_mean < split_threshold and tail < 0.45)
         self.split_cap_frac = (
-            min(0.5, max(0.05, s_max * margin)) if self.coded_split else 0.5
+            min(0.5, max(0.05, tail)) if self.coded_split else 0.5
         )
         self.coded_word_cap = None
         if self.sidecar_cap:  # respect an explicit 0 (sidecar disabled)
@@ -630,6 +657,7 @@ class WACNNCodec:
         )
         if self.coded_word_cap:
             skw["cap"] = int(self.coded_word_cap)
+        skw["interleave"] = ilv = bool(self.coded_interleave)
         sk = int(self.sidecar_cap or 0)
         out = self._encode_coded_fn(
             self.params, x, self.dev_tables, lanes=L, sidecar_cap=sk, **skw
@@ -704,7 +732,7 @@ class WACNNCodec:
         strings = [
             self._pack_blob(
                 states[i], counts[i], lane_words[i], split, capv=capv,
-                sidecar=sidecars[i],
+                sidecar=sidecars[i], interleave=ilv,
             )
             for i in range(b)
         ]
@@ -760,6 +788,7 @@ class WACNNCodec:
             z_shape=(b, shape[0], shape[1], c),
             lanes=L,
             cap=self._bucket(int(counts.max()) if counts.size else 1, lo=32),
+            interleave=hdr["interleave"],
             **skw,
         )
         self._check_drained(drained)
@@ -1007,14 +1036,14 @@ class ScalableCodec(WACNNCodec):
             functools.partial(model.apply, method="encode_coded_scalable"),
             static_argnames=(
                 "q", "lanes", "cap", "split_consts", "split_capv",
-                "sidecar_cap",
+                "sidecar_cap", "interleave",
             ),
         )
         self._decode_coded_fn = jax.jit(
             functools.partial(model.apply, method="decode_coded_scalable"),
             static_argnames=(
                 "z_shape", "zp_shape", "q", "lanes", "cap", "split_consts",
-                "split_capv",
+                "split_capv", "interleave",
             ),
         )
 
@@ -1080,6 +1109,7 @@ class ScalableCodec(WACNNCodec):
         )
         if self.coded_word_cap:
             skw["cap"] = int(self.coded_word_cap)
+        skw["interleave"] = ilv = bool(self.coded_interleave)
         sk = int(self.sidecar_cap or 0)
         out = self._encode_coded_fn(
             self.params, x, self.dev_tables, q=q, lanes=L, sidecar_cap=sk,
@@ -1154,6 +1184,7 @@ class ScalableCodec(WACNNCodec):
             self._pack_blob(
                 states[i], counts[i], lane_words[i], split,
                 q=q, has_prog=with_prog, capv=capv, sidecar=sidecars[i],
+                interleave=ilv,
             )
             for i in range(b)
         ]
@@ -1245,6 +1276,7 @@ class ScalableCodec(WACNNCodec):
             q=q,
             lanes=L,
             cap=self._bucket(int(counts.max()) if counts.size else 1, lo=32),
+            interleave=hdr["interleave"],
             **skw,
         )
         self._check_drained(drained)

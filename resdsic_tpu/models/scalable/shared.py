@@ -583,17 +583,23 @@ class ResWACNNSharedEntropy(WACNN):
         split_consts=None,
         split_capv: int = 0,
         sidecar_cap: int = 512,
+        interleave: bool = True,
     ):
+        import functools
+
         from ...coding.device_ans import (
             ans_encode_packed,
             bins_to_values,
             compact_words_dense,
-            lanes_to_plane,
             pack_table_entries,
-            plane_to_lanes,
             split_encode_plane,
             values_to_bins,
         )
+        from ...coding.device_ans import lanes_to_plane as _l2p
+        from ...coding.device_ans import plane_to_lanes as _p2l
+
+        plane_to_lanes = functools.partial(_p2l, interleave=interleave)
+        lanes_to_plane = functools.partial(_l2p, interleave=interleave)
 
         split = split_tables is not None
         sidecar = sidecar_cap > 0
@@ -796,16 +802,22 @@ class ResWACNNSharedEntropy(WACNN):
         split_capv: int = 0,
         outlier_pos=None,  # (B, K) int32 sidecar positions (pad = out of range)
         outlier_delta=None,  # (B, K) int32 sidecar value deltas
+        interleave: bool = True,  # lane layout; must match the encoder's
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        import functools
+
         from ...coding.device_ans import (
             ans_decode_init,
             ans_decode_plane,
             bins_to_values,
-            lanes_to_plane,
-            plane_to_lanes,
             scatter_outliers,
             split_decode_plane,
         )
+        from ...coding.device_ans import lanes_to_plane as _l2p
+        from ...coding.device_ans import plane_to_lanes as _p2l
+
+        plane_to_lanes = functools.partial(_p2l, interleave=interleave)
+        lanes_to_plane = functools.partial(_l2p, interleave=interleave)
 
         split = split_tables is not None
         with_prog = q != 0

@@ -351,8 +351,14 @@ class WACNN(nn.Module):
         split_consts=None,
         split_capv: int = 0,
         sidecar_cap: int = 512,
+        interleave: bool = True,
     ):
         """Full encoder + on-device rANS. Returns dense words + header.
+
+        interleave selects the lane layout (device_ans.plane_to_lanes):
+        strided (container v3, default) spreads spatial bursts across
+        lanes so per-lane counts concentrate; False keeps the legacy
+        contiguous layout of v1/v2 containers.
 
         Decode plane order is [z, y_slice_0, ..., y_slice_{ns-1}]; the
         encoder scans that sequence reversed so one lane set chains all
@@ -385,14 +391,20 @@ class WACNN(nn.Module):
           n_bad_rows: split-plane rows outside the const domain
                       (internal invariant violation — must stay 0)
         """
+        import functools
+
         from ..coding.device_ans import (
             ans_encode_packed,
             bins_to_values,
             compact_words_dense,
             pack_table_entries,
-            plane_to_lanes,
             values_to_bins,
         )
+        from ..coding.device_ans import lanes_to_plane as _l2p
+        from ..coding.device_ans import plane_to_lanes as _p2l
+
+        plane_to_lanes = functools.partial(_p2l, interleave=interleave)
+        lanes_to_plane = functools.partial(_l2p, interleave=interleave)
 
         split = split_tables is not None
         sidecar = sidecar_cap > 0
@@ -460,10 +472,7 @@ class WACNN(nn.Module):
                     jnp.ones_like(entry_planes[-1], jnp.bool_)
                 )
             else:
-                from ..coding.device_ans import (
-                    lanes_to_plane,
-                    split_encode_plane,
-                )
+                from ..coding.device_ans import split_encode_plane
 
                 rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
                 bins_l = plane_to_lanes(bins.reshape(b, -1), lanes)
@@ -533,6 +542,7 @@ class WACNN(nn.Module):
         split_capv: int = 0,
         outlier_pos=None,  # (B, K) int32 sidecar positions (pad = n_tot)
         outlier_delta=None,  # (B, K) int32 sidecar value deltas
+        interleave: bool = True,  # lane layout; must match the encoder's
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Single-dispatch full decode: device rANS + slice loop + g_s.
 
@@ -547,14 +557,19 @@ class WACNN(nn.Module):
         encode_coded) are scattered onto the decoded planes BEFORE any
         downstream use, mirroring the encoder's true-value reconstruction.
         """
+        import functools
+
         from ..coding.device_ans import (
             ans_decode_init,
             ans_decode_plane,
             bins_to_values,
-            lanes_to_plane,
-            plane_to_lanes,
             scatter_outliers,
         )
+        from ..coding.device_ans import lanes_to_plane as _l2p
+        from ..coding.device_ans import plane_to_lanes as _p2l
+
+        plane_to_lanes = functools.partial(_p2l, interleave=interleave)
+        lanes_to_plane = functools.partial(_l2p, interleave=interleave)
 
         split = split_tables is not None
         b, zh, zw, zc = z_shape

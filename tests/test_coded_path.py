@@ -60,8 +60,8 @@ def test_coded_rate_sane_vs_host(codec, x):
     host = codec.compress(x)
     n = len(coded["strings"][0])
     coded_payload = sum(
-        len(s) - 8 * codec.coded_lanes for s in coded["strings"][0]
-    )
+        len(s) - 6 * codec.coded_lanes for s in coded["strings"][0]
+    )  # v2 lane header: u4 state + u2 count per lane
     host_bytes = sum(len(s) for g in host["strings"] for s in g)
     assert coded_payload < host_bytes * 1.1 + 2 * codec.coded_lanes * n + 64
 
@@ -476,13 +476,18 @@ def test_point_based_std_raw_quality_at_codec_layer():
 
 
 def test_blob_v1_container_still_decodes(codec, x):
-    """v2 halves the per-lane count field to u2; v1 (u4) containers from
+    """v2 halves the per-lane count field to u2 and v3 interleaves the
+    lane layout; v1 (u4 counts, contiguous layout) containers from
     round-2 encoders must keep decoding bit-identically."""
     import struct
 
     from resdsic_tpu.models import codec as codec_mod
 
-    out = codec.compress_coded(x, return_debug=True)
+    codec.coded_interleave = False  # v1 implies the contiguous layout
+    try:
+        out = codec.compress_coded(x, return_debug=True)
+    finally:
+        codec.coded_interleave = True
     hs = codec_mod._BLOB_HEADER.size
     v1_strings = []
     for blob in out["strings"][0]:
@@ -515,6 +520,25 @@ def test_blob_v1_container_still_decodes(codec, x):
     )
 
 
+def test_blob_v2_contiguous_layout_roundtrip(codec, x):
+    """coded_interleave=False emits v2 (contiguous-layout) containers;
+    decode must pick the layout from the version byte, not the codec's
+    current config."""
+    codec.coded_interleave = False
+    try:
+        out = codec.compress_coded(x, return_debug=True)
+        assert out["strings"][0][0][1] == 2  # container version byte
+    finally:
+        codec.coded_interleave = True  # decode under the WRONG config
+    rec = codec.decompress_coded(out["strings"], out["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+    )
+    # and the default path emits v3
+    out3 = codec.compress_coded(x)
+    assert out3["strings"][0][0][1] == 3
+
+
 def test_autotune_coded_from_measured_stats(codec, x):
     """autotune_coded sizes split mode + value-cap from the probe encode's
     measured nonzero rates (VERDICT r2 weak #5: the cap must scale with
@@ -527,10 +551,13 @@ def test_autotune_coded_from_measured_stats(codec, x):
         assert 0.0 <= stats["nonzero_rate_mean"] <= 1.0
         assert stats["nonzero_rate_max"] >= stats["nonzero_rate_mean"]
         assert len(stats["nonzero_rate_per_slice"]) == codec.model.num_slices
-        # the decision must follow the measurement
-        assert codec.coded_split == (stats["nonzero_rate_mean"] < 0.30)
+        # the decision must follow the measurement: split only at sparse
+        # residuals AND a tail budget well below T/2
+        if stats["nonzero_rate_mean"] >= 0.30:
+            assert not codec.coded_split
         if codec.coded_split:
             assert codec.split_cap_frac >= min(0.5, stats["nonzero_rate_max"])
+            assert codec.split_cap_frac < 0.45 + 1e-9
         assert codec.coded_word_cap is None  # cleared; first call re-sizes
         assert codec.sidecar_cap == codec.DEFAULT_SIDECAR_CAP
         assert codec.selftest_coded(x)

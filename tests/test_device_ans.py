@@ -187,6 +187,29 @@ def test_plane_lane_layout_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
+def test_plane_lane_interleaved_layout():
+    """Strided (v3) layout: lane l holds positions l, l+L, l+2L, ... —
+    inverse roundtrips, and a contiguous burst spreads across lanes."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, 100, (2, 1000)).astype(np.int32))
+    lanes = plane_to_lanes(x, 16, interleave=True)
+    assert lanes.shape == (2, 16, 63)
+    np.testing.assert_array_equal(
+        np.asarray(lanes[0, 3, :5]), np.asarray(x[0, [3, 19, 35, 51, 67]])
+    )
+    back = lanes_to_plane(lanes, 1000, interleave=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    # burst dispersion: 64 consecutive nonzeros land 4 per lane (16 lanes)
+    flags = np.zeros((1, 1000), bool)
+    flags[0, 200:264] = True
+    fl = plane_to_lanes(jnp.asarray(flags), 16, interleave=True)
+    per_lane = np.asarray(fl).sum(axis=2)[0]
+    assert per_lane.max() == 4
+    # while the contiguous layout piles them into 2 lanes
+    fc = plane_to_lanes(jnp.asarray(flags), 16, interleave=False)
+    assert np.asarray(fc).sum(axis=2)[0].max() >= 32
+
+
 def test_divmod_u32_u16_exact():
     """The float-reciprocal divmod must equal integer `//`/`%` exactly.
 
