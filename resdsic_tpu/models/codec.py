@@ -315,14 +315,68 @@ class WACNNCodec:
             + words.astype("<u2").tobytes()
         )
         if sidecar is not None:
-            # lossless outlier sidecar: [u32 n][n x u32 pos][n x i32 delta]
             pos, dval = sidecar
-            blob += (
-                struct.pack("<I", len(pos))
-                + pos.astype("<u4").tobytes()
-                + dval.astype("<i4").tobytes()
-            )
+            if interleave:  # v3: compact escape-coded sidecar (~3 B/entry)
+                blob += struct.pack("<I", len(pos)) + self._pack_sidecar(
+                    np.asarray(pos, np.int64), np.asarray(dval, np.int64)
+                )
+            else:
+                # v1/v2 raw sidecar: [u32 n][n x u32 pos][n x i32 delta]
+                blob += (
+                    struct.pack("<I", len(pos))
+                    + pos.astype("<u4").tobytes()
+                    + dval.astype("<i4").tobytes()
+                )
         return blob
+
+    @staticmethod
+    def _pack_sidecar(pos: np.ndarray, dval: np.ndarray) -> bytes:
+        """v3 sidecar: positions are strictly increasing, so store u16
+        FIRST-DIFFERENCES (token 0xFFFF escapes to a u4 absolute), and
+        value deltas as i8 tokens (token -128 escapes to an i4) —
+        ~3 B/entry vs the raw format's 8. Outliers are CDF-support
+        clamps, dominated by heavy-tail residuals of undertrained or
+        off-distribution content; the host coder escapes these at a few
+        bits, so the sidecar must not cost 64."""
+        dp = np.diff(pos, prepend=np.int64(0))
+        big_p = dp >= 0xFFFF
+        ptok = np.where(big_p, 0xFFFF, dp).astype("<u2")
+        pext = dp[big_p].astype("<u4")
+        big_v = (dval < -127) | (dval > 127)
+        vtok = np.where(big_v, -128, dval).astype("<i1")
+        vext = dval[big_v].astype("<i4")
+        return (
+            ptok.tobytes() + pext.tobytes() + vtok.tobytes() + vext.tobytes()
+        )
+
+    @staticmethod
+    def _parse_sidecar(blob: bytes, off: int, n: int):
+        """Inverse of _pack_sidecar; returns ((pos, dval), bytes_read)."""
+        ptok = np.frombuffer(blob, "<u2", n, offset=off)
+        off2 = off + 2 * n
+        kp = int(np.count_nonzero(ptok == 0xFFFF))
+        if len(blob) < off2 + 4 * kp + n:
+            raise CodedStreamError("blob truncated inside the sidecar")
+        pext = np.frombuffer(blob, "<u4", kp, offset=off2)
+        off2 += 4 * kp
+        dp = ptok.astype(np.int64)
+        if kp:
+            dp[dp == 0xFFFF] = pext.astype(np.int64)
+        pos = np.cumsum(dp)
+        vtok = np.frombuffer(blob, "<i1", n, offset=off2)
+        off2 += n
+        kv = int(np.count_nonzero(vtok == -128))
+        if len(blob) < off2 + 4 * kv:
+            raise CodedStreamError("blob truncated inside the sidecar")
+        vext = np.frombuffer(blob, "<i4", kv, offset=off2)
+        off2 += 4 * kv
+        dval = vtok.astype(np.int64)
+        if kv:
+            dval[dval == -128] = vext.astype(np.int64)
+        return (
+            pos.astype(np.int32),
+            dval.astype(np.int32),
+        ), off2 - off
 
     @staticmethod
     def _parse_blob(blob: bytes) -> Dict[str, Any]:
@@ -370,14 +424,27 @@ class WACNNCodec:
             if len(blob) < soff + 4:
                 raise CodedStreamError("blob truncated before the sidecar")
             (n_out,) = struct.unpack_from("<I", blob, soff)
-            if len(blob) < soff + 4 + 8 * n_out:
-                raise CodedStreamError("blob truncated inside the sidecar")
-            out["outliers"] = (
-                np.frombuffer(blob, "<u4", n_out, offset=soff + 4).astype(
-                    np.int32
-                ),
-                np.frombuffer(blob, "<i4", n_out, offset=soff + 4 + 4 * n_out),
-            )
+            if ver >= 3:  # compact escape-coded sidecar
+                if len(blob) < soff + 4 + 3 * n_out:
+                    raise CodedStreamError(
+                        "blob truncated inside the sidecar"
+                    )
+                out["outliers"], _ = WACNNCodec._parse_sidecar(
+                    blob, soff + 4, n_out
+                )
+            else:  # v1/v2 raw [n x u4 pos][n x i4 delta]
+                if len(blob) < soff + 4 + 8 * n_out:
+                    raise CodedStreamError(
+                        "blob truncated inside the sidecar"
+                    )
+                out["outliers"] = (
+                    np.frombuffer(
+                        blob, "<u4", n_out, offset=soff + 4
+                    ).astype(np.int32),
+                    np.frombuffer(
+                        blob, "<i4", n_out, offset=soff + 4 + 4 * n_out
+                    ),
+                )
         return out
 
     @classmethod
@@ -596,14 +663,17 @@ class WACNNCodec:
         self._check_updated()
         planes = self._probe_symbols(x, **probe_kw)
         per_slice: list = []
+        s_max = 0.0
         for arr in planes:
             nz = arr != 0
-            # (B, ns, h, w, sc) → per-slice rate over batch and space
-            per_slice.extend(
-                float(v) for v in nz.mean(axis=(0, 2, 3, 4), dtype=np.float64)
-            )
+            # (B, ns, h, w, sc): per-(image, slice) rates — the cap must
+            # cover the densest single image's densest slice, not the
+            # batch average (one textured image otherwise overflows)
+            rates = nz.mean(axis=(2, 3, 4), dtype=np.float64)  # (B, ns)
+            per_slice.extend(float(v) for v in rates.mean(axis=0))
+            if rates.size:
+                s_max = max(s_max, float(rates.max()))
         s_mean = float(np.mean(per_slice)) if per_slice else 0.0
-        s_max = float(np.max(per_slice)) if per_slice else 0.0
         h, w = int(x.shape[1]), int(x.shape[2])
         n_plane = (h // 16) * (w // 16) * self.model.slice_ch
         ts = max(1, -(-n_plane // self.coded_lanes))

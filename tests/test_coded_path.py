@@ -520,6 +520,19 @@ def test_blob_v1_container_still_decodes(codec, x):
     )
 
 
+def test_sidecar_pack_roundtrip_with_escapes():
+    """The v3 compact sidecar (u16 position diffs + i8 value tokens with
+    u4/i4 escapes) must roundtrip exactly, including both escape paths."""
+    pos = np.array([5, 6, 70006, 70007, 200000], np.int64)
+    dval = np.array([1, -127, 128, -500, 127], np.int64)
+    b = WACNNCodec._pack_sidecar(pos, dval)
+    assert len(b) < 8 * len(pos)  # beats the raw format
+    (p2, d2), nread = WACNNCodec._parse_sidecar(b, 0, len(pos))
+    assert nread == len(b)
+    np.testing.assert_array_equal(p2, pos.astype(np.int32))
+    np.testing.assert_array_equal(d2, dval.astype(np.int32))
+
+
 def test_blob_v2_contiguous_layout_roundtrip(codec, x):
     """coded_interleave=False emits v2 (contiguous-layout) containers;
     decode must pick the layout from the version byte, not the codec's
