@@ -11,13 +11,22 @@ Bitstream container formats:
     These streams carry NO extra framing — byte-parity with the
     reference is the point.
   * device-coded paths: one self-describing blob per image —
-        [u8 magic 0xD5][u8 version][u8 flags][u8 0][u16 lanes][u16 0]
-        [f32 quality][lanes x u32 states][lanes x u32 counts][u16 words…]
-    (little-endian; flags bit0 = significance-split, bit1 = has-prog).
-    decompress_coded validates the header and decodes with the header's
-    own lanes/split/quality, so a mismatched decoder config raises
-    instead of desyncing (ref analogue: the 2-/4-part self-describing
-    strings of independent.py:611-627).
+        [u8 magic 0xD5][u8 version][u8 flags][u8 0][u16 lanes][u16 capv]
+        [f32 quality][lanes x u32 states][lane counts][u16 words…]
+        [optional sidecar]
+    (little-endian; flags bit0 = significance-split, bit1 = has-prog,
+    bit2 = lossless outlier sidecar). Version history:
+      v1  u32 lane counts, contiguous lane layout, raw sidecar
+      v2  u16 lane counts (counts are bounded by ~2 words/symbol x lane
+          length)
+      v3  interleaved (strided) lane layout — spatial bursts spread
+          across lanes (device_ans.plane_to_lanes) — and a compact
+          escape-coded sidecar (~3 B/outlier, _pack_sidecar)
+    The encoder writes v3 (v2 when coded_interleave=False); the parser
+    reads all three. decompress_coded validates the header and decodes
+    with the header's own version/lanes/split/quality, so a mismatched
+    decoder config raises instead of desyncing (ref analogue: the 2-/
+    4-part self-describing strings of independent.py:611-627).
 """
 
 from __future__ import annotations

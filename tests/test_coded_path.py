@@ -376,10 +376,17 @@ def test_drained_stream_check_catches_corruption(codec, x):
     raise instead of returning corrupt output (drained-stream check)."""
     from resdsic_tpu.models.codec import CodedStreamError
 
+    from resdsic_tpu.models import codec as codec_mod
+
     out = codec.compress_coded(x)
     blob = bytearray(out["strings"][0][0])
-    mid = len(blob) - 2  # a late payload word (header untouched)
-    blob[mid] ^= 0xFF
+    hdr = codec._parse_blob(bytes(blob))
+    # corrupt the LAST u16 of the word stream (header + sidecar untouched;
+    # the v3 blob ends with the sidecar, so blob[-2] would hit that)
+    hs = codec_mod._BLOB_HEADER.size
+    n_words = int(hdr["counts"].sum())
+    off = hs + 6 * hdr["lanes"] + 2 * (n_words - 1)
+    blob[off] ^= 0xFF
     with pytest.raises(CodedStreamError, match="drain"):
         codec.decompress_coded([[bytes(blob)]], out["shape"])
 
