@@ -112,16 +112,25 @@ def main():
         {"params": jax.random.key(0), "noise": jax.random.key(1)},
         jnp.zeros((1, 64, 64, 3), jnp.float32),
     )
-    trained = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "artifacts", "cnn_trained_bf16.npz",
-    )
-    if os.path.exists(trained):
-        sys.path.insert(0, os.path.join(os.path.dirname(trained), "..", "tools"))
+    # Checkpoint preference: the λ=0.013 point (cnn_trained_bf16_q65.npz)
+    # lands near the reference's 0.650 bpp Kodak headline (BASELINE.md:15)
+    # — the apples-to-apples operating point for the 0.24 s/image baseline
+    # timing; the λ=0.025 point (~1 bpp on this content) is the heavier
+    # second RD point and the fallback.
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    candidates = [
+        (os.path.join(art_dir, "cnn_trained_bf16_q65.npz"),
+         "trained λ=0.013 (tools/train_flagship.py recipe)"),
+        (os.path.join(art_dir, "cnn_trained_bf16.npz"),
+         "trained λ=0.025 (tools/train_flagship.py recipe)"),
+    ]
+    trained = next((p for p, _ in candidates if os.path.exists(p)), None)
+    if trained is not None:
+        sys.path.insert(0, os.path.join(art_dir, "..", "tools"))
         from train_flagship import load_params_npz
 
         params = load_params_npz(trained, params)
-        weights_kind = "trained (tools/train_flagship.py recipe)"
+        weights_kind = dict(candidates)[trained]
     else:
         params = scale_latents(params, Y_SCALE)
         weights_kind = "latent-scaled random"

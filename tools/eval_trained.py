@@ -51,11 +51,24 @@ def eval_images():
 
 
 def main():
+    import argparse
+
     from train_flagship import load_params_npz
 
     from resdsic_tpu.models import WACNN, WACNNCodec
 
-    art = REPO / "artifacts" / "cnn_trained_bf16.npz"
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--npz", default=str(REPO / "artifacts" / "cnn_trained_bf16.npz"),
+        help="trained-params artifact (tools/train_flagship.py)",
+    )
+    ap.add_argument(
+        "--tag", default="lmbda_0.025",
+        help="RD-point key in docs/RD_r3.json (points merge across runs)",
+    )
+    args = ap.parse_args()
+
+    art = Path(args.npz)
     if not art.exists():
         print("no trained artifact; run tools/train_flagship.py first",
               file=sys.stderr)
@@ -144,7 +157,30 @@ def main():
     (REPO / "artifacts" / "rd_point.json").write_text(
         json.dumps(result, indent=2)
     )
-    (REPO / "docs" / "RD_r3.json").write_text(json.dumps(result, indent=2))
+    # docs/RD_r3.json holds one entry per trained operating point (a
+    # 2-point curve from the lmbda=0.025 and lmbda=0.013 recipes); points
+    # from other tags are preserved so the runs can happen in any order.
+    rd_path = REPO / "docs" / "RD_r3.json"
+    merged: dict = {}
+    if rd_path.exists():
+        try:
+            prev = json.loads(rd_path.read_text())
+            # migrate the legacy single-point layout
+            merged = prev if "points" in prev else {"points": {
+                "lmbda_0.025": {
+                    k: v for k, v in prev.items()
+                    if k not in ("anchors_kodak_cnn", "note")
+                }
+            }}
+        except (ValueError, KeyError):
+            merged = {}
+    merged.setdefault("points", {})[args.tag] = {
+        k: v for k, v in result.items()
+        if k not in ("anchors_kodak_cnn", "note")
+    }
+    merged["anchors_kodak_cnn"] = ANCHORS
+    merged["note"] = result["note"]
+    rd_path.write_text(json.dumps(merged, indent=2))
 
 
 if __name__ == "__main__":

@@ -3,21 +3,27 @@
 # axon tunnel client leaks per-dispatch bookkeeping, so each process runs
 # a bounded chunk and a fresh process resumes from the checkpoint).
 # Usage: PYTHONPATH=/root/.axon_site:. bash tools/train_flagship.sh [steps]
+# Env: LMBDA (default 0.025), OUT (default artifacts), CHUNK, POOL.
+#   LMBDA=0.013 OUT=artifacts_q65 trains the second operating point that
+#   lands near the reference's 0.650 bpp Kodak headline (BASELINE.md:15).
 set -u
 STEPS=${1:-6000}
 CHUNK=${CHUNK:-500}
 POOL=${POOL:-/tmp/flagship_pool.npy}
+LMBDA=${LMBDA:-0.025}
+OUT=${OUT:-artifacts}
 # RESUME_START=1 continues an existing partial checkpoint instead of
 # starting over (used when re-tuning CHUNK mid-run)
 if [ "${RESUME_START:-0}" -eq 1 ]; then
   first=0
 else
-  rm -f artifacts/cnn_trained_bf16.partial.npz
+  rm -f "$OUT/cnn_trained_bf16.partial.npz"
   first=1
 fi
 while true; do
   if [ $first -eq 1 ]; then RESUME=""; first=0; else RESUME="--resume"; fi
-  python tools/train_flagship.py --steps "$STEPS" --lmbda 0.025 \
+  python tools/train_flagship.py --steps "$STEPS" --lmbda "$LMBDA" \
+    --out "$OUT" \
     --sync-every 8 --ckpt-every "$CHUNK" --max-per-run "$CHUNK" \
     --pool-cache "$POOL" $RESUME
   rc=$?
