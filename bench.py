@@ -117,9 +117,11 @@ def main():
     # — the apples-to-apples operating point for the 0.24 s/image baseline
     # timing; the λ=0.025 point (~1 bpp on this content) is the heavier
     # second RD point and the fallback.
-    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    art_dir = os.path.join(repo, "artifacts")
     candidates = [
-        (os.path.join(art_dir, "cnn_trained_bf16_q65.npz"),
+        # LMBDA=0.013 OUT=artifacts_q65 tools/train_flagship.sh run
+        (os.path.join(repo, "artifacts_q65", "cnn_trained_bf16.npz"),
          "trained λ=0.013 (tools/train_flagship.py recipe)"),
         (os.path.join(art_dir, "cnn_trained_bf16.npz"),
          "trained λ=0.025 (tools/train_flagship.py recipe)"),
