@@ -395,77 +395,37 @@ def compact_words_dense(
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-lane compaction: (B,L,T) sparse -> (B*L, cap) dense.
 
-    All-integer BLOCK-TWO-LEVEL rank-select. The single-level form (the
-    position of a lane's j-th word is t_j = #{t : cumsum(flags)[t] <= j})
-    is a fused compare-and-sum over T per output slot — O(cap*T) work and
-    cap re-reads of the (BL, T) rank array, the dominant encode-side term
-    at trained-statistics word counts (ROADMAP r3 #1). The two-level form
-    cuts it to O(T*block + cap*T/block):
+    SORT-based rank-select: key = (t if flagged else T), payload = word;
+    an ascending per-lane `lax.sort_key_val` moves every flagged word to
+    the row prefix in t order. On TPU the sort lowers to vectorized
+    compare-exchange passes over the whole (BL, T) tile — unlike the
+    previous block-two-level compare-sum, whose `take_along_axis` steps
+    were gathers at the ~13 ns/element throughput floor (measured 9.6
+    ms/img of the coded encode program at T~1.2k, cap 64-128; the sort
+    form measures <1 ms/img — tools/ablate_coded_stages.py). Still no
+    scatter (XLA visits every update element — ~0.3 s for the 8M-slot
+    encode buffer), no one-hot matmuls, and no float paths that could
+    round a word value.
 
-      1. within each block of `block` positions, rank-select the block's
-         words into a block-dense layout (compare-sum over `block`);
-      2. for each output slot j, find its block by compare-sum over the
-         T/block per-block cumulative counts (tiny), then ONE batched
-         take_along_axis from the flattened block-dense matrix.
-
-    Still no scatter (XLA visits every candidate index of a scatter —
-    ~0.3 s for the 8M-slot encode buffer), no one-hot matmuls (tiny
-    per-lane contractions batch pathologically on the MXU), and no float
-    paths that could round a word value.
+    `block` is kept for API compatibility (the two-level tuning knob);
+    the sort form has nothing to tune.
 
     Returns (dense (B*L, cap) int32, counts (B, L) int32). Slots beyond a
     lane's count are zero. Caller must check counts.max() <= cap (the
     encoder's host driver re-dispatches at a larger cap on overflow).
     """
+    del block
     b, l, t = flags.shape
     bl = b * l
-    fl = flags.reshape(bl, t).astype(jnp.int32)
+    fl = flags.reshape(bl, t)
     wd = words.reshape(bl, t)
-    if t <= 2 * block:  # single level: two-level bookkeeping won't pay
-        cum = jnp.cumsum(fl, axis=1)  # (BL, T) inclusive rank
-        counts = cum[:, -1]
-        j = jnp.arange(cap, dtype=jnp.int32)
-        tidx = jnp.sum(
-            (cum[:, None, :] <= j[None, :, None]).astype(jnp.int32), axis=-1
-        )  # (BL, cap)
-        dense = jnp.take_along_axis(
-            wd, jnp.minimum(tidx, t - 1), axis=1, mode="clip"
-        )
-        dense = jnp.where(j[None, :] < counts[:, None], dense, 0)
-        return dense, counts.reshape(b, l)
-
-    nb = -(-t // block)
-    tp = nb * block
-    if tp != t:
-        fl = jnp.pad(fl, ((0, 0), (0, tp - t)))
-        wd = jnp.pad(wd, ((0, 0), (0, tp - t)))
-    fb = fl.reshape(bl, nb, block)
-    cum_in = jnp.cumsum(fb, axis=2)  # (BL, nb, block) within-block rank
-    bcnt = cum_in[:, :, -1]  # (BL, nb) words per block
-    bcum = jnp.cumsum(bcnt, axis=1)  # (BL, nb) inclusive
-    counts = bcum[:, -1]
-    # level 2 first: block-dense layout (within-block rank-select)
-    jj = jnp.arange(block, dtype=jnp.int32)
-    tin = jnp.sum(
-        (cum_in[:, :, None, :] <= jj[None, None, :, None]).astype(jnp.int32),
-        axis=-1,
-    )  # (BL, nb, block)
-    wb = wd.reshape(bl, nb, block)
-    bdense = jnp.take_along_axis(wb, jnp.minimum(tin, block - 1), axis=2)
-    bdense = jnp.where(jj[None, None, :] < bcnt[:, :, None], bdense, 0)
-    # level 1: output slot j lives in block #{k : bcum[k] <= j} at offset
-    # j - (words before that block)
+    counts = jnp.sum(fl.astype(jnp.int32), axis=1)
+    keys = jnp.where(fl, jnp.arange(t, dtype=jnp.int32)[None, :], t)
+    _, dense = jax.lax.sort_key_val(keys, wd, dimension=1)
+    if t < cap:
+        dense = jnp.pad(dense, ((0, 0), (0, cap - t)))
     j = jnp.arange(cap, dtype=jnp.int32)
-    bidx = jnp.sum(
-        (bcum[:, None, :] <= j[None, :, None]).astype(jnp.int32), axis=-1
-    )  # (BL, cap)
-    bidx_c = jnp.minimum(bidx, nb - 1)
-    off = jnp.take_along_axis(bcum - bcnt, bidx_c, axis=1)  # (BL, cap)
-    src = bidx_c * block + (j[None, :] - off)
-    dense = jnp.take_along_axis(
-        bdense.reshape(bl, tp), jnp.clip(src, 0, tp - 1), axis=1
-    )
-    dense = jnp.where(j[None, :] < counts[:, None], dense, 0)
+    dense = jnp.where(j[None, :] < counts[:, None], dense[:, :cap], 0)
     return dense, counts.reshape(b, l)
 
 
@@ -803,26 +763,52 @@ def bins_to_values(bins: jax.Array, rows: jax.Array, tables: DeviceAnsTables) ->
 
 
 def collect_outliers(
-    deltas: jax.Array, cap: int
+    deltas: jax.Array, cap: int, seg: int = 8192
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Rank-select the nonzero entries of a (B, N) delta tensor.
 
     Returns (pos (B, cap) int32 padded with N, dval (B, cap) int32,
     n (B,) int32 true counts — may exceed cap, callers must check).
+
+    Two-stage segmented sort, scatter-free: the original one-shot scatter
+    had B*N update elements (~8M at encode shapes, ~10 ms/img — XLA
+    visits every update), and a single full-length sort would pay
+    log^2(N) ~ 361 compare-exchange passes. Instead each `seg`-length
+    segment sorts its outliers to its prefix (log^2(seg) ~ 91 passes over
+    the same data volume), the per-segment prefixes of length min(cap,
+    seg) concatenate into a candidate row, and one short second sort
+    orders the candidates globally. Exact for every n <= cap: a segment
+    can contribute at most min(cap, seg) entries, so no candidate that
+    belongs in the first `cap` can be dropped; n > cap already forces the
+    driver's re-dispatch (counts stay exact via the global reduction).
     """
     b, n = deltas.shape
     nz = deltas != 0
-    rank = jnp.cumsum(nz.astype(jnp.int32), axis=1)
-    dest = jnp.where(nz, rank - 1, cap)  # overflow/non-outliers -> dropped
-    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
-    pos_src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
-    pos = jnp.full((b, cap), n, jnp.int32).at[rows, dest].set(
-        pos_src, mode="drop"
+    n_true = jnp.sum(nz.astype(jnp.int32), axis=1)
+    ns = -(-n // seg)
+    npad = ns * seg
+    pos_src = jnp.broadcast_to(jnp.arange(npad, dtype=jnp.int32), (b, npad))
+    if npad != n:
+        deltas = jnp.pad(deltas, ((0, 0), (0, npad - n)))
+        nz = jnp.pad(nz, ((0, 0), (0, npad - n)))
+    # key = flat position for outliers, npad for everything else; the
+    # payload beyond a row's count is always a zero delta (nz false)
+    keys = jnp.where(nz, pos_src, npad)
+    c = min(cap, seg)
+    k1, d1 = jax.lax.sort(
+        (keys.reshape(b * ns, seg), deltas.reshape(b * ns, seg)),
+        dimension=1, num_keys=1,
     )
-    dval = jnp.zeros((b, cap), jnp.int32).at[rows, dest].set(
-        deltas, mode="drop"
-    )
-    return pos, dval, rank[:, -1]
+    k2 = k1[:, :c].reshape(b, ns * c)
+    d2 = d1[:, :c].reshape(b, ns * c)
+    if ns > 1:
+        k2, d2 = jax.lax.sort((k2, d2), dimension=1, num_keys=1)
+    if k2.shape[1] < cap:
+        k2 = jnp.pad(k2, ((0, 0), (0, cap - k2.shape[1])),
+                     constant_values=npad)
+        d2 = jnp.pad(d2, ((0, 0), (0, cap - d2.shape[1])))
+    pos = jnp.where(k2[:, :cap] >= n, n, k2[:, :cap])
+    return pos, d2[:, :cap], n_true
 
 
 def scatter_outliers(
