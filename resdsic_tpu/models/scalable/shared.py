@@ -704,8 +704,8 @@ class ResWACNNSharedEntropy(WACNN):
             )
             rows = gc_build_indexes(scale, table)
             raw = quantize_symbols(y_slice, mu)
-            bins = values_to_bins(raw, rows, tables)
-            vals = bins_to_values(bins, rows, tables)
+            bins = values_to_bins(raw, rows, tables, gc_only=True)
+            vals = bins_to_values(bins, rows, tables, gc_only=True)
             n_clamped = n_clamped + jnp.sum((raw != vals).astype(jnp.int32))
             vals = add_y_plane(bins, rows, vals)
             if sidecar:
@@ -730,8 +730,8 @@ class ResWACNNSharedEntropy(WACNN):
                 else:
                     rows_p = gc_build_indexes(scale_p, table)
                     raw_p = quantize_symbols(yp_slice, mu_p)
-                bins_p = values_to_bins(raw_p, rows_p, tables)
-                vals_p = bins_to_values(bins_p, rows_p, tables)
+                bins_p = values_to_bins(raw_p, rows_p, tables, gc_only=True)
+                vals_p = bins_to_values(bins_p, rows_p, tables, gc_only=True)
                 n_clamped = n_clamped + jnp.sum(
                     (raw_p != vals_p).astype(jnp.int32)
                 )
@@ -847,16 +847,18 @@ class ResWACNNSharedEntropy(WACNN):
             delta_off[0] += n
             return vals + seg.reshape(vals.shape)
 
-        def dec_plane(carry, rows):
+        def dec_plane(carry, rows, gc=False):
             shp = rows.shape
             rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
             carry, bins_l = ans_decode_plane(carry, rows_l, tables)
             bins = lanes_to_plane(bins_l, int(np.prod(shp[1:]))).reshape(shp)
-            return carry, take_delta(bins_to_values(bins, rows, tables))
+            return carry, take_delta(
+                bins_to_values(bins, rows, tables, gc_only=gc)
+            )
 
         def dec_y_plane(carry, rows):
             if not split:
-                return dec_plane(carry, rows)
+                return dec_plane(carry, rows, gc=True)
             shp = rows.shape
             rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
             carry, vals_l = split_decode_plane(

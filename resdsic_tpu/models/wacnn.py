@@ -456,8 +456,8 @@ class WACNN(nn.Module):
             )
             rows = gc_build_indexes(scale, table)
             raw = quantize_symbols(y_slice, mu)
-            bins = values_to_bins(raw, rows, tables)
-            vals = bins_to_values(bins, rows, tables)
+            bins = values_to_bins(raw, rows, tables, gc_only=True)
+            vals = bins_to_values(bins, rows, tables, gc_only=True)
             n_clamped = n_clamped + jnp.sum((raw != vals).astype(jnp.int32))
 
             if not split:
@@ -613,7 +613,7 @@ class WACNN(nn.Module):
             if not split:
                 carry, bins_l = ans_decode_plane(carry, rows_l, tables)
                 bins = lanes_to_plane(bins_l, n_y).reshape(b, yh, yw, sc)
-                vals = bins_to_values(bins, rows, tables)
+                vals = bins_to_values(bins, rows, tables, gc_only=True)
             else:
                 from ..coding.device_ans import split_decode_plane
 

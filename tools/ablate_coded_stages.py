@@ -92,6 +92,32 @@ def dummy_dec_bin(carry, p0):
     return carry, p0 * 0 + carry.states[:, :, None].astype(jnp.int32) % 2
 
 
+def dummy_outliers(deltas, cap, seg=8192):
+    b, n = deltas.shape
+    pos = jnp.full((b, cap), n, jnp.int32) + deltas[:, :1].astype(jnp.int32) * 0
+    dval = jnp.zeros((b, cap), jnp.int32)
+    return pos, dval, jnp.zeros((b,), jnp.int32)
+
+
+def dummy_pack(syms, idxs, tables):
+    # shape/dtype-preserving, gather-free
+    return jax.lax.bitcast_convert_type(
+        (idxs.astype(jnp.uint32) << 16) | jnp.uint32(1), jnp.int32
+    ) + syms * 0
+
+
+def dummy_vtb(values, rows, tables, gc_only=False):
+    return jnp.clip(values + 32, 0, 63)
+
+
+def dummy_btv(bins, rows, tables, gc_only=False):
+    return bins - 32
+
+
+def dummy_rows_const(rows, consts):
+    return rows * 0 + jnp.int32(32768)
+
+
 REAL = {
     "ans_encode_packed": device_ans.ans_encode_packed,
     "compact_words_dense": device_ans.compact_words_dense,
@@ -99,6 +125,11 @@ REAL = {
     "select_by_index": device_ans.select_by_index,
     "ans_decode_plane": device_ans.ans_decode_plane,
     "ans_decode_binary_plane": device_ans.ans_decode_binary_plane,
+    "collect_outliers": device_ans.collect_outliers,
+    "pack_table_entries": device_ans.pack_table_entries,
+    "values_to_bins": device_ans.values_to_bins,
+    "bins_to_values": device_ans.bins_to_values,
+    "map_rows_const": device_ans.map_rows_const,
 }
 
 
@@ -164,6 +195,13 @@ def main():
          "rank_select": dummy_rank,
          "select_by_index": dummy_select},
     )
+    enc_variant("enc no-outliers", {"collect_outliers": dummy_outliers})
+    enc_variant("enc no-entrypack", {"pack_table_entries": dummy_pack})
+    enc_variant(
+        "enc no-binmap",
+        {"values_to_bins": dummy_vtb, "bins_to_values": dummy_btv},
+    )
+    enc_variant("enc no-rowsconst", {"map_rows_const": dummy_rows_const})
 
     t = timed(
         lambda: codec._encode_fn(codec.params, x),
