@@ -691,13 +691,17 @@ class WACNNCodec:
         )
         if not self.coded_interleave:
             tail = max(tail, 1.6 * s_max)
-        # split pays only when the value plane is genuinely short: dense
-        # residuals or a tail budget near T/2 make the binary plane pure
-        # overhead on the decode scan
-        self.coded_split = bool(s_mean < split_threshold and tail < 0.45)
-        self.split_cap_frac = (
-            min(0.5, max(0.05, tail)) if self.coded_split else 0.5
-        )
+        # split pays whenever the MEAN rate is low: even a T/2-length
+        # value plane halves the decode-side table scan, which runs at
+        # the gather throughput floor (A/B at the trained 0.65-bpp
+        # point, tools/ab_split_trained.py: dec 32.3 -> 19.6 ms/img
+        # with the tail budget clamped to T/2 — one dense slice must
+        # not disable the mode the nine sparse ones pay for). Dense
+        # mean residuals still turn it off: there the binary plane is
+        # pure overhead. tail >= 0.5 clamps to the in-model T/2 cap;
+        # overflow past it rides the lossless sidecar.
+        self.coded_split = bool(s_mean < split_threshold)
+        self.split_cap_frac = min(0.5, max(0.05, tail))
         self.coded_word_cap = None
         if self.sidecar_cap:  # respect an explicit 0 (sidecar disabled)
             self.sidecar_cap = self.DEFAULT_SIDECAR_CAP

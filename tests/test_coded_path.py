@@ -571,13 +571,17 @@ def test_autotune_coded_from_measured_stats(codec, x):
         assert 0.0 <= stats["nonzero_rate_mean"] <= 1.0
         assert stats["nonzero_rate_max"] >= stats["nonzero_rate_mean"]
         assert len(stats["nonzero_rate_per_slice"]) == codec.model.num_slices
-        # the decision must follow the measurement: split only at sparse
-        # residuals AND a tail budget well below T/2
+        # the decision must follow the measurement: split at sparse MEAN
+        # residuals (one dense slice must not disable the mode — the
+        # value cap clamps to the in-model T/2 and overflow rides the
+        # lossless sidecar), off when the mean itself is dense
         if stats["nonzero_rate_mean"] >= 0.30:
             assert not codec.coded_split
+        else:
+            assert codec.coded_split
         if codec.coded_split:
             assert codec.split_cap_frac >= min(0.5, stats["nonzero_rate_max"])
-            assert codec.split_cap_frac < 0.45 + 1e-9
+            assert codec.split_cap_frac <= 0.5 + 1e-9
         assert codec.coded_word_cap is None  # cleared; first call re-sizes
         assert codec.sidecar_cap == codec.DEFAULT_SIDECAR_CAP
         assert codec.selftest_coded(x)
