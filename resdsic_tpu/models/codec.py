@@ -701,6 +701,11 @@ class WACNNCodec:
         # pure overhead. tail >= 0.5 clamps to the in-model T/2 cap;
         # overflow past it rides the lossless sidecar.
         self.coded_split = bool(s_mean < split_threshold)
+        # a tail within one slot of T/2 snaps to the in-model default:
+        # a 46-of-48 cap saves nothing but pushes every tail symbol of
+        # the densest slice into the sidecar (measured 2.2k entries on
+        # one dense bench image -> a 4096-wide sidecar fetch)
+        tail = 0.5 if 0.45 <= tail else tail
         self.split_cap_frac = min(0.5, max(0.05, tail))
         self.coded_word_cap = None
         if self.sidecar_cap:  # respect an explicit 0 (sidecar disabled)
@@ -796,7 +801,11 @@ class WACNNCodec:
             self.coded_word_cap = cap  # persist: steady state = 1 dispatch
             if sk:
                 n_out = np.asarray(out["n_outliers"])
-        cap_fetch = min(self._bucket(max(cmax, 1), lo=16), cap)
+        # fetch-width bucket: multiples of 32 (finer than the pow2 decode
+        # cap — the fetch is a slice, so extra widths only cost a tiny
+        # jitted lambda, while every unused column is real d2h bytes on a
+        # ~40 MB/s tunnel link)
+        cap_fetch = min(max(32, -(-max(cmax, 1) // 32) * 32), cap)
         dense = np.asarray(
             self._dense_prefix(out["words"], cap_fetch)
             if cap_fetch < cap
@@ -1246,7 +1255,11 @@ class ScalableCodec(WACNNCodec):
             self.coded_word_cap = cap  # persist: steady state = 1 dispatch
             if sk:
                 n_out = np.asarray(out["n_outliers"])
-        cap_fetch = min(self._bucket(max(cmax, 1), lo=16), cap)
+        # fetch-width bucket: multiples of 32 (finer than the pow2 decode
+        # cap — the fetch is a slice, so extra widths only cost a tiny
+        # jitted lambda, while every unused column is real d2h bytes on a
+        # ~40 MB/s tunnel link)
+        cap_fetch = min(max(32, -(-max(cmax, 1) // 32) * 32), cap)
         dense = np.asarray(
             self._dense_prefix(out["words"], cap_fetch)
             if cap_fetch < cap
