@@ -448,6 +448,40 @@ def compact_words_dense(
     return dense, counts.reshape(b, l)
 
 
+def flatten_dense_words(
+    dense: jax.Array, counts: jax.Array, tcap: int
+) -> jax.Array:
+    """Ragged flatten of the (B*L, cap) dense word matrix: (tcap,) uint16.
+
+    The rectangular d2h fetch pays cap_fetch columns per lane while real
+    lanes hold ~bpp-proportional counts (mean ~30 vs cap 96-128 at the
+    trained operating point) — ~2.7x the true payload in dead bytes on a
+    ~40 MB/s tunnel link. One device-side sort (key = flat destination
+    base[lane]+j for occupied slots, else BIG) compacts the occupied
+    words into a prefix in (b, l) raster order — the order the host blob
+    packer slices per image — so the fetch is bucket(total_words)
+    elements. ~7 ms/batch of sort against ~47
+    ms/batch of link time at batch 32.
+
+    tcap must be >= counts.sum() (the caller buckets the fetched total);
+    slots past the total read back as junk from dropped keys and are
+    sliced off on the host.
+    """
+    bl, cap = dense.shape
+    flatc = counts.reshape(-1)
+    base = jnp.cumsum(flatc) - flatc  # (B*L,) exclusive
+    j = jnp.arange(cap, dtype=jnp.int32)
+    keys = jnp.where(
+        j[None, :] < flatc[:, None],
+        base[:, None] + j[None, :],
+        jnp.int32(bl * cap),
+    )
+    _, flat = jax.lax.sort_key_val(
+        keys.reshape(-1), dense.reshape(-1), dimension=0
+    )
+    return flat[:tcap].astype(jnp.uint16)
+
+
 # --------------------------------------------------------------------------
 # decode
 # --------------------------------------------------------------------------

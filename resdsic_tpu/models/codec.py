@@ -273,24 +273,6 @@ class WACNNCodec:
 
     # -- device-coded container framing --
 
-    @staticmethod
-    def _extract_lane_words(
-        dense: np.ndarray, counts: np.ndarray, b: int, L: int
-    ) -> list:
-        """Per-image lane-concatenated words from the dense (B*L, capf)
-        matrix — one vectorized boolean mask instead of B*L numpy slices
-        (the slice loop cost ~ms/image of pure host time on 1-core
-        builders)."""
-        capf = dense.shape[1]
-        mask = (
-            np.arange(capf, dtype=np.int32)[None, :]
-            < counts.reshape(-1, 1).astype(np.int32)
-        )
-        flat = dense[mask]  # all lanes' words, (b, lane) raster order
-        per_image = counts.reshape(b, L).sum(axis=1).astype(np.int64)
-        offs = np.concatenate(([0], np.cumsum(per_image)))
-        return [flat[offs[i] : offs[i + 1]] for i in range(b)]
-
     def _pack_blob(
         self,
         states_row: np.ndarray,
@@ -616,6 +598,36 @@ class WACNNCodec:
             cls._dense_prefix_fns[cap_fetch] = fn
         return fn(dense)
 
+    _flatten_fns: Dict[Tuple[int, int], Any] = {}
+
+    def _fetch_lane_words(
+        self, words, counts_dev, counts: np.ndarray, b: int, L: int
+    ) -> list:
+        """Per-image lane-concatenated word arrays via the device-side
+        ragged flatten (device_ans.flatten_dense_words): the d2h fetch is
+        bucket(total_words) u16 elements instead of a (B*L, cap_fetch)
+        rectangle whose padding columns were ~2.7x the true payload at
+        trained statistics. Buckets are multiples of 64Ki words so the
+        flatten program compiles a handful of variants per geometry."""
+        from ..coding.device_ans import flatten_dense_words
+
+        total = int(counts.sum())
+        tcap = min(
+            max(65536, -(-max(total, 1) // 65536) * 65536),
+            int(words.shape[0]) * int(words.shape[1]),
+        )
+        key = (int(words.shape[0]), int(words.shape[1]), tcap)
+        fn = self._flatten_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(flatten_dense_words, tcap=tcap)
+            )
+            self._flatten_fns[key] = fn
+        flat = np.asarray(fn(words, counts_dev))[:total]
+        per_image = counts.reshape(b, L).sum(axis=1).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(per_image)))
+        return [flat[offs[i] : offs[i + 1]] for i in range(b)]
+
     def _fetch_outliers(self, out: Dict[str, Any], n_out: np.ndarray, sk: int):
         """Fetch only the occupied prefix of the (B, sidecar_cap) outlier
         arrays — after an overflow re-dispatch sk can be large (power-of-2
@@ -801,19 +813,10 @@ class WACNNCodec:
             self.coded_word_cap = cap  # persist: steady state = 1 dispatch
             if sk:
                 n_out = np.asarray(out["n_outliers"])
-        # fetch-width bucket: multiples of 32 (finer than the pow2 decode
-        # cap — the fetch is a slice, so extra widths only cost a tiny
-        # jitted lambda, while every unused column is real d2h bytes on a
-        # ~40 MB/s tunnel link)
-        cap_fetch = min(max(32, -(-max(cmax, 1) // 32) * 32), cap)
-        dense = np.asarray(
-            self._dense_prefix(out["words"], cap_fetch)
-            if cap_fetch < cap
-            else out["words"]
-        )  # (B*L, cap_fetch) uint16
-
         b = counts.shape[0]
-        lane_words = self._extract_lane_words(dense, counts, b, L)
+        lane_words = self._fetch_lane_words(
+            out["words"], out["counts"], counts, b, L
+        )
         if sk:
             opos, odel = self._fetch_outliers(out, n_out, sk)
             sidecars = [
@@ -1255,20 +1258,11 @@ class ScalableCodec(WACNNCodec):
             self.coded_word_cap = cap  # persist: steady state = 1 dispatch
             if sk:
                 n_out = np.asarray(out["n_outliers"])
-        # fetch-width bucket: multiples of 32 (finer than the pow2 decode
-        # cap — the fetch is a slice, so extra widths only cost a tiny
-        # jitted lambda, while every unused column is real d2h bytes on a
-        # ~40 MB/s tunnel link)
-        cap_fetch = min(max(32, -(-max(cmax, 1) // 32) * 32), cap)
-        dense = np.asarray(
-            self._dense_prefix(out["words"], cap_fetch)
-            if cap_fetch < cap
-            else out["words"]
-        )
-
         b = counts.shape[0]
         with_prog = out.get("zp_shape") is not None
-        lane_words = self._extract_lane_words(dense, counts, b, L)
+        lane_words = self._fetch_lane_words(
+            out["words"], out["counts"], counts, b, L
+        )
         if sk:
             opos, odel = self._fetch_outliers(out, n_out, sk)
             sidecars = [
