@@ -22,8 +22,13 @@ Bitstream container formats:
       v3  interleaved (strided) lane layout — spatial bursts spread
           across lanes (device_ans.plane_to_lanes) — and a compact
           escape-coded sidecar (~3 B/outlier, _pack_sidecar)
-    The encoder writes v3 (v2 when coded_interleave=False); the parser
-    reads all three. decompress_coded validates the header and decodes
+      v4  v3 + PER-PLANE split value caps: [u16 ncaps][ncaps x u16]
+          after the base header (header capv field is 0) — each y
+          slice's value plane budget sized from its own significance
+          rate (autotune_coded)
+    The encoder writes v4 when the caps are per-plane, else v3 (v2 when
+    coded_interleave=False); the parser reads all four.
+    decompress_coded validates the header and decodes
     with the header's own version/lanes/split/quality, so a mismatched
     decoder config raises instead of desyncing (ref analogue: the 2-/
     4-part self-describing strings of independent.py:611-627).
@@ -260,15 +265,31 @@ class WACNNCodec:
         )
         return n
 
-    def _split_capv(self, x: jax.Array) -> int:
+    def _split_capv(self, x: jax.Array):
         """Static per-lane nonzero budget for the split value planes at
-        this input geometry (0 = in-model default T/2)."""
+        this input geometry. Returns 0 (in-model T/2 default), an int
+        (uniform budget), or a per-slice tuple (container v4) when
+        split_cap_frac is a sequence — autotune sizes each slice from its
+        own significance rate so one dense slice doesn't inflate every
+        plane's value scan."""
         frac = self.split_cap_frac
-        if not self.coded_split or frac is None or frac >= 0.5:
+        if not self.coded_split or frac is None:
             return 0
         h, w = int(x.shape[1]), int(x.shape[2])
         n_y = (h // 16) * (w // 16) * self.model.slice_ch
         ts = -(-n_y // self.coded_lanes)
+        if isinstance(frac, (list, tuple)):
+            if not self.coded_interleave:
+                # container v4 implies the interleaved layout (parser
+                # keys layout off version >= 3); legacy contiguous mode
+                # falls back to one uniform budget
+                f = max(frac)
+                return 0 if f >= 0.5 else max(8, int(ts * f))
+            return tuple(
+                0 if f >= 0.5 else max(8, int(ts * f)) for f in frac
+            )
+        if frac >= 0.5:
+            return 0
         return max(8, int(ts * frac))
 
     # -- device-coded container framing --
@@ -281,7 +302,7 @@ class WACNNCodec:
         split: bool,
         q: float = 0.0,
         has_prog: bool = False,
-        capv: int = 0,
+        capv=0,
         sidecar=None,
         interleave: bool = True,
     ) -> bytes:
@@ -295,12 +316,23 @@ class WACNNCodec:
                 "per-lane word count exceeds the u16 container field — "
                 "increase coded_lanes (shorter lanes) for this payload"
             )
-        ver = _BLOB_VERSION if interleave else 2  # v2 = contiguous layout
+        per_plane = isinstance(capv, tuple)
+        if per_plane:  # v4: per-plane value caps follow the base header
+            ver = 4
+            caps_block = struct.pack("<H", len(capv)) + np.asarray(
+                capv, "<u2"
+            ).tobytes()
+            hdr_capv = 0
+        else:
+            ver = _BLOB_VERSION if interleave else 2  # v2 = contiguous
+            caps_block = b""
+            hdr_capv = int(capv)
         blob = (
             _BLOB_HEADER.pack(
                 _BLOB_MAGIC, ver, flags, 0,
-                states_row.shape[0], capv, float(q),
+                states_row.shape[0], hdr_capv, float(q),
             )
+            + caps_block
             + states_row.astype("<u4").tobytes()
             + counts_row.astype("<u2").tobytes()
             + words.astype("<u2").tobytes()
@@ -383,11 +415,22 @@ class WACNNCodec:
                 "not a device-ans blob (host-coder streams decode via "
                 "decompress())"
             )
-        if ver not in (1, 2, _BLOB_VERSION):
+        if ver not in (1, 2, 3, 4):
             raise CodedStreamError(
                 f"unsupported device-ans container version {ver} "
-                f"(this build reads versions 1-{_BLOB_VERSION})"
+                "(this build reads versions 1-4)"
             )
+        capv_out = int(capv)
+        if ver >= 4:  # per-plane value caps follow the base header
+            if len(blob) < hs + 2:
+                raise CodedStreamError("blob truncated before the caps block")
+            (ncaps,) = struct.unpack_from("<H", blob, hs)
+            if len(blob) < hs + 2 + 2 * ncaps:
+                raise CodedStreamError("blob truncated inside the caps block")
+            capv_out = tuple(
+                int(v) for v in np.frombuffer(blob, "<u2", ncaps, offset=hs + 2)
+            )
+            hs += 2 + 2 * ncaps
         cw = 4 if ver == 1 else 2  # v1 stored u4 lane counts
         if len(blob) < hs + (4 + cw) * lanes:
             raise CodedStreamError("blob truncated before the lane header")
@@ -402,7 +445,7 @@ class WACNNCodec:
             "split": bool(flags & 1),
             "has_prog": bool(flags & 2),
             "lanes": int(lanes),
-            "capv": int(capv),
+            "capv": capv_out,  # int, or per-plane tuple for v4 blobs
             "q": float(q),
             "interleave": ver >= 3,  # v3+ = strided lane layout
             "states": np.frombuffer(blob, "<u4", lanes, offset=hs),
@@ -684,6 +727,7 @@ class WACNNCodec:
         self._check_updated()
         planes = self._probe_symbols(x, **probe_kw)
         per_slice: list = []
+        slice_max: Optional[np.ndarray] = None  # per-slice densest image
         s_max = 0.0
         for arr in planes:
             nz = arr != 0
@@ -694,15 +738,27 @@ class WACNNCodec:
             per_slice.extend(float(v) for v in rates.mean(axis=0))
             if rates.size:
                 s_max = max(s_max, float(rates.max()))
+                m = rates.max(axis=0)  # (ns,)
+                # multi-plane probes (scalable: y + y_prog) share one
+                # per-slice budget — take the elementwise max
+                slice_max = m if slice_max is None else np.maximum(slice_max, m)
         s_mean = float(np.mean(per_slice)) if per_slice else 0.0
         h, w = int(x.shape[1]), int(x.shape[2])
         n_plane = (h // 16) * (w // 16) * self.model.slice_ch
         ts = max(1, -(-n_plane // self.coded_lanes))
-        tail = s_max + sigmas * float(
-            np.sqrt(max(s_max * (1.0 - s_max), 1e-6) / ts)
-        )
-        if not self.coded_interleave:
-            tail = max(tail, 1.6 * s_max)
+
+        def _frac(r: float) -> float:
+            t = r + sigmas * float(np.sqrt(max(r * (1.0 - r), 1e-6) / ts))
+            if not self.coded_interleave:
+                t = max(t, 1.6 * r)
+            # a tail within one slot of T/2 snaps to the in-model
+            # default: a 46-of-48 cap saves nothing but pushes every
+            # tail symbol of a dense slice into the sidecar (measured
+            # 2.2k entries on one dense bench image -> a 4096-wide
+            # sidecar fetch)
+            t = 0.5 if t >= 0.45 else t
+            return min(0.5, max(0.05, t))
+
         # split pays whenever the MEAN rate is low: even a T/2-length
         # value plane halves the decode-side table scan, which runs at
         # the gather throughput floor (A/B at the trained 0.65-bpp
@@ -710,15 +766,18 @@ class WACNNCodec:
         # with the tail budget clamped to T/2 — one dense slice must
         # not disable the mode the nine sparse ones pay for). Dense
         # mean residuals still turn it off: there the binary plane is
-        # pure overhead. tail >= 0.5 clamps to the in-model T/2 cap;
-        # overflow past it rides the lossless sidecar.
+        # pure overhead.
         self.coded_split = bool(s_mean < split_threshold)
-        # a tail within one slot of T/2 snaps to the in-model default:
-        # a 46-of-48 cap saves nothing but pushes every tail symbol of
-        # the densest slice into the sidecar (measured 2.2k entries on
-        # one dense bench image -> a 4096-wide sidecar fetch)
-        tail = 0.5 if 0.45 <= tail else tail
-        self.split_cap_frac = min(0.5, max(0.05, tail))
+        if slice_max is not None:
+            # PER-SLICE budgets (container v4): each value plane sized
+            # from its own slice's densest-image rate, so the sparse
+            # slices' scans stay short next to a dense slice 0
+            fracs = [_frac(float(r)) for r in slice_max]
+            self.split_cap_frac = (
+                fracs[0] if len(set(fracs)) <= 1 else tuple(fracs)
+            )
+        else:
+            self.split_cap_frac = _frac(s_max)
         self.coded_word_cap = None
         if self.sidecar_cap:  # respect an explicit 0 (sidecar disabled)
             self.sidecar_cap = self.DEFAULT_SIDECAR_CAP

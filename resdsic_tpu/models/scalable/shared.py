@@ -642,9 +642,11 @@ class ResWACNNSharedEntropy(WACNN):
             entry_planes.append(e)
             active_planes.append(jnp.ones_like(e, jnp.bool_))
 
-        def add_y_plane(bins_pl, rows_pl, vals_pl):
+        def add_y_plane(bins_pl, rows_pl, vals_pl, idx=0):
             """Table-coded (plain) or significance-split y plane; returns
-            the (possibly coerced) reconstruction values."""
+            the (possibly coerced) reconstruction values. idx selects the
+            per-plane value cap when split_capv is a tuple (container v4);
+            y and y_prog slices of the same index share a budget."""
             nonlocal n_overflow, n_bad_rows
             if not split:
                 add_table_plane(bins_pl, rows_pl)
@@ -652,9 +654,14 @@ class ResWACNNSharedEntropy(WACNN):
             rows_l = plane_to_lanes(rows_pl.reshape(b, -1), lanes)
             bins_l = plane_to_lanes(bins_pl.reshape(b, -1), lanes)
             vals_l = plane_to_lanes(vals_pl.reshape(b, -1), lanes)
+            cv = (
+                split_capv[idx]
+                if isinstance(split_capv, tuple)
+                else split_capv
+            )
             entries, actives, coerced, n_over, n_bad = split_encode_plane(
                 rows_l, bins_l, vals_l, split_tables, split_consts,
-                capv=split_capv,
+                capv=cv,
             )
             entry_planes.extend(entries)
             active_planes.extend(actives)
@@ -707,7 +714,7 @@ class ResWACNNSharedEntropy(WACNN):
             bins = values_to_bins(raw, rows, tables, gc_only=True)
             vals = bins_to_values(bins, rows, tables, gc_only=True)
             n_clamped = n_clamped + jnp.sum((raw != vals).astype(jnp.int32))
-            vals = add_y_plane(bins, rows, vals)
+            vals = add_y_plane(bins, rows, vals, i)
             if sidecar:
                 delta_planes.append(
                     (raw.astype(jnp.int32) - vals).reshape(b, -1)
@@ -735,7 +742,7 @@ class ResWACNNSharedEntropy(WACNN):
                 n_clamped = n_clamped + jnp.sum(
                     (raw_p != vals_p).astype(jnp.int32)
                 )
-                vals_p = add_y_plane(bins_p, rows_p, vals_p)
+                vals_p = add_y_plane(bins_p, rows_p, vals_p, i)
                 if sidecar:
                     delta_planes.append(
                         (raw_p.astype(jnp.int32) - vals_p).reshape(b, -1)
@@ -856,13 +863,18 @@ class ResWACNNSharedEntropy(WACNN):
                 bins_to_values(bins, rows, tables, gc_only=gc)
             )
 
-        def dec_y_plane(carry, rows):
+        def dec_y_plane(carry, rows, idx=0):
             if not split:
                 return dec_plane(carry, rows, gc=True)
             shp = rows.shape
             rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
+            cv = (
+                split_capv[idx]
+                if isinstance(split_capv, tuple)
+                else split_capv
+            )
             carry, vals_l = split_decode_plane(
-                carry, rows_l, split_tables, split_consts, capv=split_capv
+                carry, rows_l, split_tables, split_consts, capv=cv
             )
             vals = lanes_to_plane(vals_l, int(np.prod(shp[1:]))).reshape(shp)
             return carry, take_delta(vals)
@@ -900,7 +912,7 @@ class ResWACNNSharedEntropy(WACNN):
                 i, latent_means, latent_scales, support
             )
             rows = gc_build_indexes(scale, table)
-            carry, vals = dec_y_plane(carry, rows)
+            carry, vals = dec_y_plane(carry, rows, i)
             y_hat_slice = vals.astype(jnp.float32) + mu
             y_hat_slice = y_hat_slice + self._lrp(i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)
@@ -915,7 +927,7 @@ class ResWACNNSharedEntropy(WACNN):
                     rows_p = gc_build_indexes(scale_p * block_mask, table)
                 else:
                     rows_p = gc_build_indexes(scale_p, table)
-                carry, vals_p = dec_y_plane(carry, rows_p)
+                carry, vals_p = dec_y_plane(carry, rows_p, i)
                 yp_hat = vals_p.astype(jnp.float32) + mu_p
                 if self.lrp_prog:
                     yp_hat = yp_hat + self._lrp_prog(i, mean_support_p, yp_hat)

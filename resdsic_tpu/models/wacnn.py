@@ -477,10 +477,19 @@ class WACNN(nn.Module):
                 rows_l = plane_to_lanes(rows.reshape(b, -1), lanes)
                 bins_l = plane_to_lanes(bins.reshape(b, -1), lanes)
                 vals_l = plane_to_lanes(vals.reshape(b, -1), lanes)
+                # per-plane value cap (container v4): a tuple carries one
+                # budget per slice, sized from that slice's own
+                # significance rate — one dense slice no longer inflates
+                # every plane's value scan
+                cv = (
+                    split_capv[i]
+                    if isinstance(split_capv, tuple)
+                    else split_capv
+                )
                 entries, actives, vals_coerced, n_over, n_bad = (
                     split_encode_plane(
                         rows_l, bins_l, vals_l, split_tables, split_consts,
-                        capv=split_capv,
+                        capv=cv,
                     )
                 )
                 entry_planes.extend(entries)
@@ -619,7 +628,11 @@ class WACNN(nn.Module):
 
                 carry, vals_l = split_decode_plane(
                     carry, rows_l, split_tables, split_consts,
-                    capv=split_capv,
+                    capv=(
+                        split_capv[i]
+                        if isinstance(split_capv, tuple)
+                        else split_capv
+                    ),
                 )
                 vals = lanes_to_plane(vals_l, n_y).reshape(b, yh, yw, sc)
             if delta_dense is not None:

@@ -580,8 +580,14 @@ def test_autotune_coded_from_measured_stats(codec, x):
         else:
             assert codec.coded_split
         if codec.coded_split:
-            assert codec.split_cap_frac >= min(0.5, stats["nonzero_rate_max"])
-            assert codec.split_cap_frac <= 0.5 + 1e-9
+            # scalar = uniform budget; tuple = per-slice (container v4)
+            fr = codec.split_cap_frac
+            fmax = max(fr) if isinstance(fr, tuple) else fr
+            assert fmax >= min(0.5, stats["nonzero_rate_max"]) - 1e-9
+            assert fmax <= 0.5 + 1e-9
+            if isinstance(fr, tuple):
+                assert len(fr) == codec.model.num_slices
+                assert all(0.05 <= f <= 0.5 for f in fr)
         assert codec.coded_word_cap is None  # cleared; first call re-sizes
         assert codec.sidecar_cap == codec.DEFAULT_SIDECAR_CAP
         assert codec.selftest_coded(x)
@@ -646,6 +652,51 @@ def test_autotune_coded_scalable(scal_codec, x):
     finally:
         (scal_codec.coded_split, scal_codec.split_cap_frac,
          scal_codec.coded_word_cap, scal_codec.sidecar_cap) = old
+
+
+def test_per_plane_caps_v4_roundtrip(codec, x):
+    """Per-slice value caps emit a v4 container: caps ride the header
+    block, decode self-configures from them (even after the codec's own
+    fracs change), and the reconstruction is bit-exact vs the encoder."""
+    codec.coded_split = True
+    codec.split_cap_frac = (0.45, 0.20)  # one budget per slice (ns=2)
+    try:
+        out = codec.compress_coded(x, return_debug=True)
+        assert out["format"] == "device-ans"
+        blob = out["strings"][0][0]
+        assert blob[1] == 4  # container version byte
+        hdr = codec._parse_blob(blob)
+        assert isinstance(hdr["capv"], tuple) and len(hdr["capv"]) == 2
+        assert hdr["interleave"]
+        codec.split_cap_frac = 0.5  # decode must use the header's caps
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+    finally:
+        codec.coded_split = False
+        codec.split_cap_frac = 0.5
+
+
+def test_per_plane_caps_v4_scalable(scal_codec, x):
+    """The scalable family shares one per-slice budget between y and
+    y_prog planes of the same index; v4 blobs roundtrip bit-exactly."""
+    scal_codec.coded_split = True
+    scal_codec.split_cap_frac = (0.40, 0.15, 0.30, 0.10)
+    try:
+        out = scal_codec.compress_coded(x, quality=1, return_debug=True)
+        if out["format"] != "device-ans":
+            import pytest
+
+            pytest.skip("loss fallback engaged on this init")
+        assert out["strings"][0][0][1] == 4
+        rec = scal_codec.decompress_coded(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+    finally:
+        scal_codec.coded_split = False
+        scal_codec.split_cap_frac = 0.5
 
 
 def test_split_capv_tunable_roundtrip(codec, x):
