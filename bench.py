@@ -38,7 +38,7 @@ BASELINE_S_PER_IMAGE = 0.24  # README.md:85 — 0.12 enc + 0.12 dec
 BATCH = 32
 N_IMAGES = 32
 H, W = 768, 512
-PIPE_BATCHES = 6
+PIPE_BATCHES = 10  # long enough that the ramp batches amortize
 Y_SCALE = 0.12  # last-g_a-conv scale → realistic symbol statistics
 V5E_PEAK_FLOPS = 197e12  # bf16 peak, one v5e chip
 
@@ -278,7 +278,8 @@ def main():
     coded_bpp = coded_bytes * 8 / (BATCH * H * W)
 
     stream_c = StreamingCodec(
-        codec, n_encode_workers=2, n_decode_workers=2, coded=True
+        codec, n_encode_workers=3, n_decode_workers=2, max_inflight=4,
+        coded=True,  # best of the tools/ab_pipeline.py sweep
     )
     stream_c.map(batches[:2])
     cpipe_runs = []

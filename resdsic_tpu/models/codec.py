@@ -706,15 +706,15 @@ class WACNNCodec:
         - ``coded_split`` turns on only when the mean nonzero rate is
           below ``split_threshold`` (dense residuals make the binary
           plane pure overhead);
-        - ``split_cap_frac`` is sized from the DENSEST slice's rate plus
-          a ``sigmas``-sigma binomial tail at the per-plane lane length:
-          under the interleaved (v3) lane layout each lane samples the
-          whole plane, so per-lane nonzero counts concentrate binomially
-          around the plane mean and a few sigma of headroom makes
-          value-plane overflow — recovered losslessly via the sidecar,
-          but at ~8 bytes/symbol — rare. (Under the legacy contiguous
-          layout spatial bursts land whole in single lanes; a 1.6x
-          multiplicative floor is kept for that case.)
+        - ``split_cap_frac`` carries one budget PER SLICE (container
+          v4), each sized from that slice's MEASURED worst per-lane
+          nonzero count under the actual lane layout plus a small slot
+          margin (``sigmas`` slots). Measured — not a binomial tail
+          model: strided lanes align with image rows, so textured bands
+          concentrate in single lanes and the model's 4-sigma budget
+          left ~1.4k overflow entries per dense image (+0.09 bpp of
+          sidecar). Content beyond the probe still recovers losslessly
+          via the sidecar.
         - ``coded_word_cap`` is cleared to the in-model default and
           ``sidecar_cap`` reset to DEFAULT_SIDECAR_CAP: the first
           compress_coded call after autotune re-sizes both exactly from
@@ -726,8 +726,12 @@ class WACNNCodec:
         """
         self._check_updated()
         planes = self._probe_symbols(x, **probe_kw)
+        h, w = int(x.shape[1]), int(x.shape[2])
+        n_plane = (h // 16) * (w // 16) * self.model.slice_ch
+        ts = max(1, -(-n_plane // self.coded_lanes))
+        L = self.coded_lanes
         per_slice: list = []
-        slice_max: Optional[np.ndarray] = None  # per-slice densest image
+        lane_max: Optional[np.ndarray] = None  # per-slice worst lane count
         s_max = 0.0
         for arr in planes:
             nz = arr != 0
@@ -736,26 +740,41 @@ class WACNNCodec:
             # batch average (one textured image otherwise overflows)
             rates = nz.mean(axis=(2, 3, 4), dtype=np.float64)  # (B, ns)
             per_slice.extend(float(v) for v in rates.mean(axis=0))
-            if rates.size:
-                s_max = max(s_max, float(rates.max()))
-                m = rates.max(axis=0)  # (ns,)
-                # multi-plane probes (scalable: y + y_prog) share one
-                # per-slice budget — take the elementwise max
-                slice_max = m if slice_max is None else np.maximum(slice_max, m)
+            if not rates.size:
+                continue
+            s_max = max(s_max, float(rates.max()))
+            # MEASURED per-lane nonzero maxima under the real (strided)
+            # lane layout: the binomial tail model underestimates —
+            # lanes sample every L-th flat position, which aligns with
+            # image rows, so textured bands concentrate in single lanes
+            # (a 4-sigma cap left ~1.4k overflow entries per bench
+            # image = +0.09 bpp of sidecar). bincount per (image,
+            # slice) is exact for the probed content; unseen content
+            # still recovers via the lossless sidecar.
+            b_, ns_ = rates.shape
+            flat = nz.reshape(b_, ns_, -1)
+            n_el = flat.shape[-1]
+            if self.coded_interleave:
+                lane_of = np.arange(n_el, dtype=np.int64) % L
+            else:
+                lane_of = np.arange(n_el, dtype=np.int64) // ts
+            m = np.zeros(ns_, np.int64)
+            for i in range(ns_):
+                worst = 0
+                for bi in range(b_):  # per-image worst lane
+                    c = np.bincount(lane_of[flat[bi, i]], minlength=L)
+                    worst = max(worst, int(c.max()) if c.size else 0)
+                m[i] = worst
+            lane_max = m if lane_max is None else np.maximum(lane_max, m)
         s_mean = float(np.mean(per_slice)) if per_slice else 0.0
-        h, w = int(x.shape[1]), int(x.shape[2])
-        n_plane = (h // 16) * (w // 16) * self.model.slice_ch
-        ts = max(1, -(-n_plane // self.coded_lanes))
 
-        def _frac(r: float) -> float:
-            t = r + sigmas * float(np.sqrt(max(r * (1.0 - r), 1e-6) / ts))
-            if not self.coded_interleave:
-                t = max(t, 1.6 * r)
-            # a tail within one slot of T/2 snaps to the in-model
-            # default: a 46-of-48 cap saves nothing but pushes every
-            # tail symbol of a dense slice into the sidecar (measured
-            # 2.2k entries on one dense bench image -> a 4096-wide
-            # sidecar fetch)
+        def _frac(worst: int) -> float:
+            # measured worst lane + a small absolute margin; sigmas keeps
+            # its legacy meaning as extra slots of headroom
+            t = (worst + max(2.0, sigmas)) / ts
+            # a budget within one slot of T/2 snaps to the in-model
+            # default — a 46-of-48 cap saves nothing but pushes every
+            # tail symbol of a dense slice into the sidecar
             t = 0.5 if t >= 0.45 else t
             return min(0.5, max(0.05, t))
 
@@ -768,16 +787,16 @@ class WACNNCodec:
         # mean residuals still turn it off: there the binary plane is
         # pure overhead.
         self.coded_split = bool(s_mean < split_threshold)
-        if slice_max is not None:
+        if lane_max is not None:
             # PER-SLICE budgets (container v4): each value plane sized
-            # from its own slice's densest-image rate, so the sparse
+            # from its own slice's measured worst lane, so the sparse
             # slices' scans stay short next to a dense slice 0
-            fracs = [_frac(float(r)) for r in slice_max]
+            fracs = [_frac(int(v)) for v in lane_max]
             self.split_cap_frac = (
                 fracs[0] if len(set(fracs)) <= 1 else tuple(fracs)
             )
         else:
-            self.split_cap_frac = _frac(s_max)
+            self.split_cap_frac = 0.5
         self.coded_word_cap = None
         if self.sidecar_cap:  # respect an explicit 0 (sidecar disabled)
             self.sidecar_cap = self.DEFAULT_SIDECAR_CAP

@@ -180,6 +180,11 @@ def main():
     # the ~4 min host-side pool synthesis on restarts.
     ap.add_argument("--max-per-run", type=int, default=0)
     ap.add_argument("--pool-cache", default="")
+    ap.add_argument(
+        "--init-npz", default="",
+        help="warm-start params from a saved artifact (fresh optimizer "
+        "state; pair with a reduced --lr for fine-tuning)",
+    )
     args = ap.parse_args()
 
     from resdsic_tpu.models import WACNN
@@ -194,6 +199,11 @@ def main():
         jnp.zeros((1, 64, 64, 3), jnp.float32),
     )
     state = create_train_state(params)
+    if args.init_npz:
+        state = state.replace(
+            params=load_params_npz(args.init_npz, state.params)
+        )
+        print(f"warm-started params from {args.init_npz}", flush=True)
     step = make_train_step(model, RateDistortionLoss(lmbda=args.lmbda))
 
     assets = _load_assets()

@@ -12,6 +12,8 @@ CHUNK=${CHUNK:-500}
 POOL=${POOL:-/tmp/flagship_pool.npy}
 LMBDA=${LMBDA:-0.025}
 OUT=${OUT:-artifacts}
+LR=${LR:-1e-4}
+INIT=${INIT:-}   # warm-start artifact for fine-tune continuations
 # RESUME_START=1 continues an existing partial checkpoint instead of
 # starting over (used when re-tuning CHUNK mid-run)
 if [ "${RESUME_START:-0}" -eq 1 ]; then
@@ -22,10 +24,14 @@ else
 fi
 while true; do
   if [ $first -eq 1 ]; then RESUME=""; first=0; else RESUME="--resume"; fi
+  EXTRA=""
+  # warm start applies to the first chunk only; later chunks resume the
+  # partial checkpoint, which already carries the fine-tuned params
+  if [ -n "$INIT" ] && [ -z "$RESUME" ]; then EXTRA="--init-npz $INIT"; fi
   python tools/train_flagship.py --steps "$STEPS" --lmbda "$LMBDA" \
-    --out "$OUT" \
+    --out "$OUT" --lr "$LR" \
     --sync-every 8 --ckpt-every "$CHUNK" --max-per-run "$CHUNK" \
-    --pool-cache "$POOL" $RESUME
+    --pool-cache "$POOL" $RESUME $EXTRA
   rc=$?
   if [ $rc -eq 0 ]; then echo "training complete"; exit 0; fi
   if [ $rc -ne 3 ]; then echo "trainer failed rc=$rc"; exit $rc; fi
