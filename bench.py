@@ -32,13 +32,14 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_S_PER_IMAGE = 0.24  # README.md:85 — 0.12 enc + 0.12 dec
-# batch 32: +17% coded-path throughput over 16 (tools/ab_batch32.py —
-# dispatch/tunnel overhead amortizes and the transform convs fill the
-# MXU better); fits v5e HBM with the pipeline's 3 batches in flight
-BATCH = 32
-N_IMAGES = 32
+# batch 64: +17% coded-path throughput over 32, which was +17% over 16
+# (tools/ab_batch32.py — dispatch/tunnel overhead amortizes and the
+# transform convs fill the MXU better); fits v5e HBM with the
+# pipeline's 4 batches in flight
+BATCH = 64
+N_IMAGES = 64
 H, W = 768, 512
-PIPE_BATCHES = 10  # long enough that the ramp batches amortize
+PIPE_BATCHES = 6  # long enough that the ramp batches amortize
 Y_SCALE = 0.12  # last-g_a-conv scale → realistic symbol statistics
 V5E_PEAK_FLOPS = 197e12  # bf16 peak, one v5e chip
 
@@ -278,8 +279,8 @@ def main():
     coded_bpp = coded_bytes * 8 / (BATCH * H * W)
 
     stream_c = StreamingCodec(
-        codec, n_encode_workers=3, n_decode_workers=2, max_inflight=4,
-        coded=True,  # best of the tools/ab_pipeline.py sweep
+        codec, n_encode_workers=3, n_decode_workers=3, max_inflight=5,
+        coded=True,  # best of the tools/ab_pipeline.py sweep at batch 64
     )
     stream_c.map(batches[:2])
     cpipe_runs = []

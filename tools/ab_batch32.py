@@ -50,9 +50,9 @@ def main():
 
     import bench
 
-    imgs = bench.make_images(32, trained=True)
+    imgs = bench.make_images(64, trained=True)
 
-    for b in (16, 32):
+    for b in (32, 64):
         codec.coded_word_cap = None
         codec.sidecar_cap = codec.DEFAULT_SIDECAR_CAP
         x = jnp.asarray(imgs[:b])

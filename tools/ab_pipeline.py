@@ -24,7 +24,7 @@ from train_flagship import load_params_npz  # noqa: E402
 
 from resdsic_tpu.models import WACNN, WACNNCodec, StreamingCodec  # noqa: E402
 
-B, H, W = 32, 768, 512
+B, H, W = 64, 768, 512
 N_BATCH = 6
 
 
@@ -49,8 +49,8 @@ def main():
     codec.decompress_coded(out["strings"], out["shape"])
 
     batches = [x for _ in range(N_BATCH)]
-    for ne, nd, infl in [(2, 2, 3), (2, 3, 3), (3, 3, 4), (2, 2, 4),
-                         (1, 2, 3), (3, 2, 4)]:
+    for ne, nd, infl in [(3, 2, 4), (2, 2, 3), (2, 3, 4), (3, 3, 5),
+                         (4, 2, 5)]:
         s = StreamingCodec(codec, n_encode_workers=ne, n_decode_workers=nd,
                            max_inflight=infl, coded=True)
         s.map(batches[:2])
