@@ -62,6 +62,12 @@ def make_images(n: int, seed: int = 0, trained: bool = False) -> np.ndarray:
     statistics the latent-scaled random init was tuned for."""
     rng = np.random.default_rng(seed)
     if trained:
+        import os
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools")
+        )
         from train_flagship import _dead_leaves, _load_assets, _pink_field
 
         assets = [
@@ -116,11 +122,12 @@ def main():
         {"params": jax.random.key(0), "noise": jax.random.key(1)},
         jnp.zeros((1, 64, 64, 3), jnp.float32),
     )
-    # Checkpoint preference: the λ=0.013 point (cnn_trained_bf16_q65.npz)
-    # lands near the reference's 0.650 bpp Kodak headline (BASELINE.md:15)
-    # — the apples-to-apples operating point for the 0.24 s/image baseline
-    # timing; the λ=0.025 point (~1 bpp on this content) is the heavier
-    # second RD point and the fallback.
+    # Checkpoint preference: the λ=0.013 point (artifacts_q65) codes at
+    # ~0.65 bpp on this content — the reference's 0.650 bpp Kodak
+    # headline (BASELINE.md:15), i.e. the apples-to-apples operating
+    # point for the 0.24 s/image baseline timing; the λ=0.025 point
+    # (~1 bpp on this content) is the heavier second RD point and the
+    # fallback.
     repo = os.path.dirname(os.path.abspath(__file__))
     art_dir = os.path.join(repo, "artifacts")
     candidates = [
@@ -132,8 +139,7 @@ def main():
     ]
     trained = next((p for p, _ in candidates if os.path.exists(p)), None)
     if trained is not None:
-        sys.path.insert(0, os.path.join(art_dir, "..", "tools"))
-        from train_flagship import load_params_npz
+        from resdsic_tpu.utils.checkpoint import load_params_npz
 
         params = load_params_npz(trained, params)
         weights_kind = dict(candidates)[trained]

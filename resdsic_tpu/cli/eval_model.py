@@ -47,6 +47,15 @@ def load_model_and_params(arch: str, checkpoint: str, args):
         from ..utils.torch_convert import load_torch_checkpoint
 
         params = load_torch_checkpoint(checkpoint, arch=arch)
+    elif checkpoint and checkpoint.endswith(".npz"):
+        # single-file param artifact (tools/train_flagship.py recipe)
+        from ..utils.checkpoint import load_params_npz
+
+        like = jax.jit(model.init)(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)},
+            jnp.zeros((1, 64, 64, 3)),
+        )
+        params = load_params_npz(checkpoint, like)
     elif checkpoint:
         from ..utils.checkpoint import load_checkpoint
 

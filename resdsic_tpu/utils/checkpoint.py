@@ -65,3 +65,51 @@ def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
     meta_file = p / "meta.json"
     meta = json.loads(meta_file.read_text()) if meta_file.exists() else {}
     return {**tree, **meta}
+
+
+def save_params_npz(params, path: str, full_precision: bool = False):
+    """Single-file npz param artifact (the flagship training recipe's
+    format — tools/train_flagship.py). full_precision=True keeps f32
+    exactly (mid-train checkpoints must resume bit-identically); the
+    default bf16 halves the final artifact."""
+    import jax.numpy as jnp
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {}
+    for kp, v in flat:
+        key = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
+        )
+        a = np.asarray(v)
+        if a.dtype == np.float32 and not full_precision:
+            # stored as a u16 view because np.savez cannot round-trip
+            # the ml_dtypes bfloat16 dtype
+            bf = np.asarray(jnp.asarray(a).astype(jnp.bfloat16))
+            arrays[key + "::bf16"] = bf.view(np.uint16)
+        else:
+            arrays[key] = a
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_params_npz(path: str, like):
+    """Restore a tree saved by save_params_npz onto `like`'s structure."""
+    import jax.numpy as jnp
+
+    data = np.load(path, allow_pickle=False)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    out = []
+    for kp, v in flat:
+        key = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
+        )
+        if key + "::bf16" in data:
+            raw = data[key + "::bf16"].view(jnp.bfloat16)
+            a = jnp.asarray(raw).astype(jnp.float32)
+        else:
+            a = jnp.asarray(data[key])
+        out.append(a.reshape(v.shape))
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -208,3 +208,32 @@ def test_eval_model_cli_bucket_shapes(tmp_path, capsys, monkeypatch):
     r = out["results"]
     assert r["bpp"] > 0
     assert r["distinct_padded_shapes"] <= 2  # 3 shapes -> <= 2 programs
+
+
+def test_eval_model_loads_npz_artifact(tmp_path, monkeypatch):
+    """-p artifacts/....npz loads the flagship training recipe's
+    single-file param artifact through the package loader."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from resdsic_tpu.cli import eval_model as em
+    from resdsic_tpu.models import WACNN
+    from resdsic_tpu.utils.checkpoint import save_params_npz
+
+    tiny = lambda **kw: WACNN(N=32, M=64, num_slices=2, max_support_slices=1)
+    monkeypatch.setattr(em, "get_model", lambda arch: tiny)
+
+    model = tiny()
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(3), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3)),
+    )
+    art = tmp_path / "tiny.npz"
+    save_params_npz(params, str(art), full_precision=True)
+
+    _, loaded = em.load_model_and_params("cnn", str(art), None)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -111,42 +111,13 @@ def make_batch(rng: np.random.Generator, assets, b: int, hw: int) -> np.ndarray:
     return out
 
 
-def save_params_npz(params, path: str, full_precision: bool = False):
-    """full_precision=True keeps f32 exactly (mid-train checkpoints must
-    resume bit-identically); the default bf16 halves the final artifact."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    arrays = {}
-    for kp, v in flat:
-        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-        a = np.asarray(v)
-        if a.dtype == np.float32 and not full_precision:
-            # bf16 halves the artifact; stored as a u16 view because
-            # np.savez cannot round-trip the ml_dtypes bfloat16 dtype
-            bf = np.asarray(jnp.asarray(a).astype(jnp.bfloat16))
-            arrays[key + "::bf16"] = bf.view(np.uint16)
-        else:
-            arrays[key] = a
-    tmp = path + ".tmp.npz"
-    np.savez(tmp, **arrays)
-    import os
-
-    os.replace(tmp, path)
-
-
-def load_params_npz(path: str, like):
-    """Restore a tree saved by save_params_npz onto `like`'s structure."""
-    data = np.load(path, allow_pickle=False)
-    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
-    out = []
-    for kp, v in flat:
-        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-        if key + "::bf16" in data:
-            raw = data[key + "::bf16"].view(jnp.bfloat16)
-            a = jnp.asarray(raw).astype(jnp.float32)
-        else:
-            a = jnp.asarray(data[key])
-        out.append(a.reshape(v.shape))
-    return jax.tree_util.tree_unflatten(treedef, out)
+# canonical implementations live in the package so the CLI surfaces can
+# read the artifact too (eval_model -p artifacts/....npz); re-exported
+# here for the existing tool/bench imports
+from resdsic_tpu.utils.checkpoint import (  # noqa: E402,F401
+    load_params_npz,
+    save_params_npz,
+)
 
 
 def main():
