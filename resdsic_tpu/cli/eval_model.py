@@ -201,7 +201,8 @@ def main(argv=None):
 
     model, params = load_model_and_params(args.arch, args.checkpoint, args)
     if args.half:
-        model = model.replace(dtype=jnp.bfloat16)
+        # linen Modules expose clone(), not dataclasses.replace
+        model = model.clone(dtype=jnp.bfloat16)
     metrics = eval_model(
         model, params, filepaths, args.entropy_estimation, args.quality,
         coded=args.coded, bucket=args.bucket_shapes,

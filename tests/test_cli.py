@@ -96,7 +96,8 @@ def test_eval_model_cli_entropy_estimation(kodak_dir, capsys, monkeypatch):
         return model, params
 
     monkeypatch.setattr(em, "load_model_and_params", tiny_load)
-    em.main(["-d", kodak_dir, "-a", "cnn", "--entropy-estimation"])
+    # --half exercises the bf16 clone path (linen has clone, not replace)
+    em.main(["-d", kodak_dir, "-a", "cnn", "--entropy-estimation", "--half"])
     out = json.loads(capsys.readouterr().out)
     r = out["results"]
     assert r["bpp"] > 0 and r["psnr"] > 0 and 0 < r["ms-ssim"] <= 1
