@@ -156,6 +156,14 @@ def main():
         help="warm-start params from a saved artifact (fresh optimizer "
         "state; pair with a reduced --lr for fine-tuning)",
     )
+    ap.add_argument(
+        "--freeze-transforms", action="store_true",
+        help="entropy-settling tail: freeze g_a/g_s so the latent "
+        "distribution is stationary and only the rate side (h_a, h_*_s, "
+        "cc_*, LRP, entropy bottleneck + quantiles) trains — the move "
+        "that closes the estimate-vs-real-codec bpp gap without shifting "
+        "the operating point (docs/ROADMAP.md item 4)",
+    )
     args = ap.parse_args()
 
     from resdsic_tpu.models import WACNN
@@ -175,7 +183,28 @@ def main():
             params=load_params_npz(args.init_npz, state.params)
         )
         print(f"warm-started params from {args.init_npz}", flush=True)
-    step = make_train_step(model, RateDistortionLoss(lmbda=args.lmbda))
+    mask = None
+    if args.freeze_transforms:
+        def _trainable(path, leaf):
+            top = path[0].key if path else ""
+            return not (top.startswith("g_a") or top.startswith("g_s"))
+
+        mask = jax.tree_util.tree_map_with_path(
+            _trainable, state.params["params"]
+        )
+        n_frozen = sum(
+            int(np.prod(l.shape))
+            for m, l in zip(
+                jax.tree_util.tree_leaves(mask),
+                jax.tree_util.tree_leaves(state.params["params"]),
+            )
+            if not m
+        )
+        print(f"freeze-transforms: {n_frozen} params frozen (g_a/g_s)",
+              flush=True)
+    step = make_train_step(
+        model, RateDistortionLoss(lmbda=args.lmbda), trainable_mask=mask
+    )
 
     assets = _load_assets()
     # separate generators for pool synthesis vs batch choice so a cached

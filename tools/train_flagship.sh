@@ -14,6 +14,7 @@ LMBDA=${LMBDA:-0.025}
 OUT=${OUT:-artifacts}
 LR=${LR:-1e-4}
 INIT=${INIT:-}   # warm-start artifact for fine-tune continuations
+FREEZE=${FREEZE:-0}  # 1 = entropy-settling tail (--freeze-transforms)
 # RESUME_START=1 continues an existing partial checkpoint instead of
 # starting over (used when re-tuning CHUNK mid-run)
 if [ "${RESUME_START:-0}" -eq 1 ]; then
@@ -28,6 +29,7 @@ while true; do
   # warm start applies to the first chunk only; later chunks resume the
   # partial checkpoint, which already carries the fine-tuned params
   if [ -n "$INIT" ] && [ -z "$RESUME" ]; then EXTRA="--init-npz $INIT"; fi
+  if [ "$FREEZE" -eq 1 ]; then EXTRA="$EXTRA --freeze-transforms"; fi
   python tools/train_flagship.py --steps "$STEPS" --lmbda "$LMBDA" \
     --out "$OUT" --lr "$LR" \
     --sync-every 8 --ckpt-every "$CHUNK" --max-per-run "$CHUNK" \
