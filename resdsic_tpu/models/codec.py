@@ -26,8 +26,17 @@ Bitstream container formats:
           after the base header (header capv field is 0) — each y
           slice's value plane budget sized from its own significance
           rate (autotune_coded)
+      v5  BATCH container (coded_batch_container=True): ONE blob for the
+          whole batch — header byte 3 carries the batch size (<=255),
+          flags bit3 = per-plane caps block follows, bit4 = contiguous
+          (non-interleaved) lane layout; then [B x lanes u32 states]
+          [B x lanes u16 counts][concatenated word streams in batch
+          order][if bit2: B x u32 sidecar entry counts + concatenated
+          escape-coded sidecars]. Amortizes the header + caps block and
+          the per-image parse across the batch for serving.
     The encoder writes v4 when the caps are per-plane, else v3 (v2 when
-    coded_interleave=False); the parser reads all four.
+    coded_interleave=False), or one v5 blob in batch-container mode; the
+    parser reads all five.
     decompress_coded validates the header and decodes
     with the header's own version/lanes/split/quality, so a mismatched
     decoder config raises instead of desyncing (ref analogue: the 2-/
@@ -180,6 +189,12 @@ class WACNNCodec:
         # interleaved (strided) lane layout — container v3; False emits
         # legacy contiguous-layout v2 blobs (see device_ans.plane_to_lanes)
         self.coded_interleave = True
+        # batch-container mode (container v5): compress_coded emits ONE
+        # self-describing blob for the whole batch instead of a blob per
+        # image — fewer header bytes and one parse per batch (serving
+        # path; per-image blobs remain the default so streams stay
+        # individually addressable)
+        self.coded_batch_container = False
         self._encode_coded_fn = jax.jit(
             functools.partial(model.apply, method="encode_coded"),
             static_argnames=(
@@ -401,6 +416,146 @@ class WACNNCodec:
             dval.astype(np.int32),
         ), off2 - off
 
+    def _pack_batch_blob(
+        self,
+        states: np.ndarray,
+        counts: np.ndarray,
+        lane_words: Sequence[np.ndarray],
+        split: bool,
+        q: float = 0.0,
+        has_prog: bool = False,
+        capv=0,
+        sidecars: Optional[Sequence] = None,
+        interleave: bool = True,
+    ) -> bytes:
+        """Container v5: one blob for the whole batch (module docstring)."""
+        b, lanes = states.shape
+        if b > 255:
+            raise CodedStreamError(
+                f"batch container holds at most 255 images (got {b}) — "
+                "split the batch or use per-image blobs"
+            )
+        if counts.size and int(counts.max()) > 0xFFFF:
+            raise CodedStreamError(
+                "per-lane word count exceeds the u16 container field — "
+                "increase coded_lanes (shorter lanes) for this payload"
+            )
+        has_sc = sidecars is not None and any(
+            s is not None for s in sidecars
+        )
+        per_plane = isinstance(capv, tuple)
+        flags = (
+            (1 if split else 0)
+            | (2 if has_prog else 0)
+            | (4 if has_sc else 0)
+            | (8 if per_plane else 0)
+            | (0 if interleave else 16)
+        )
+        if per_plane:
+            caps_block = struct.pack("<H", len(capv)) + np.asarray(
+                capv, "<u2"
+            ).tobytes()
+            hdr_capv = 0
+        else:
+            caps_block = b""
+            hdr_capv = int(capv)
+        parts = [
+            _BLOB_HEADER.pack(
+                _BLOB_MAGIC, 5, flags, b, lanes, hdr_capv, float(q)
+            ),
+            caps_block,
+            states.astype("<u4").tobytes(),
+            counts.astype("<u2").tobytes(),
+        ]
+        parts.extend(w.astype("<u2").tobytes() for w in lane_words)
+        if has_sc:
+            packed = [
+                self._pack_sidecar(
+                    np.asarray(s[0], np.int64), np.asarray(s[1], np.int64)
+                )
+                if s is not None
+                else b""
+                for s in sidecars
+            ]
+            ns = np.asarray(
+                [len(s[0]) if s is not None else 0 for s in sidecars], "<u4"
+            )
+            parts.append(ns.tobytes())
+            parts.extend(packed)
+        return b"".join(parts)
+
+    @classmethod
+    def _parse_batch_blob(cls, blob: bytes) -> Dict[str, Any]:
+        """Parse a v5 batch container to the same dict _parse_blobs
+        returns for a list of per-image blobs."""
+        hs = _BLOB_HEADER.size
+        magic, ver, flags, b, lanes, capv, q = _BLOB_HEADER.unpack(blob[:hs])
+        assert magic == _BLOB_MAGIC and ver == 5  # caller dispatched on these
+        if b == 0:
+            raise CodedStreamError("batch container with batch size 0")
+        capv_out: Any = int(capv)
+        if flags & 8:  # per-plane caps block
+            if len(blob) < hs + 2:
+                raise CodedStreamError("blob truncated before the caps block")
+            (ncaps,) = struct.unpack_from("<H", blob, hs)
+            if len(blob) < hs + 2 + 2 * ncaps:
+                raise CodedStreamError("blob truncated inside the caps block")
+            capv_out = tuple(
+                int(v)
+                for v in np.frombuffer(blob, "<u2", ncaps, offset=hs + 2)
+            )
+            hs += 2 + 2 * ncaps
+        if len(blob) < hs + 6 * b * lanes:
+            raise CodedStreamError("blob truncated before the lane header")
+        states = (
+            np.frombuffer(blob, "<u4", b * lanes, offset=hs)
+            .reshape(b, lanes)
+            .astype(np.uint32)
+        )
+        counts = (
+            np.frombuffer(blob, "<u2", b * lanes, offset=hs + 4 * b * lanes)
+            .reshape(b, lanes)
+            .astype(np.int32)
+        )
+        woff = hs + 6 * b * lanes
+        n_words = int(counts.sum())
+        if len(blob) < woff + 2 * n_words:
+            raise CodedStreamError("blob truncated inside the word stream")
+        flat = np.frombuffer(blob, "<u2", n_words, offset=woff)
+        sidecar = None
+        if flags & 4:
+            soff = woff + 2 * n_words
+            if len(blob) < soff + 4 * b:
+                raise CodedStreamError("blob truncated before the sidecar")
+            ns = np.frombuffer(blob, "<u4", b, offset=soff)
+            soff += 4 * b
+            omax = int(ns.max()) if b else 0
+            K = max(16, 1 << max(omax - 1, 0).bit_length())
+            pos = np.full((b, K), np.int32(1 << 30), np.int32)
+            dval = np.zeros((b, K), np.int32)
+            for i in range(b):
+                n_i = int(ns[i])
+                if n_i:
+                    (op, od), nread = cls._parse_sidecar(blob, soff, n_i)
+                    pos[i, :n_i] = op
+                    dval[i, :n_i] = od
+                    soff += nread
+            sidecar = (pos, dval)
+        return {
+            "split": bool(flags & 1),
+            "has_prog": bool(flags & 2),
+            "lanes": int(lanes),
+            "capv": capv_out,
+            "q": float(q),
+            "interleave": not (flags & 16),
+            "states": states,
+            "counts": counts,
+            "flat": flat,
+            "batch": int(b),
+            "L": int(lanes),
+            "sidecar": sidecar,
+        }
+
     @staticmethod
     def _parse_blob(blob: bytes) -> Dict[str, Any]:
         hs = _BLOB_HEADER.size
@@ -415,10 +570,15 @@ class WACNNCodec:
                 "not a device-ans blob (host-coder streams decode via "
                 "decompress())"
             )
+        if ver == 5:
+            raise CodedStreamError(
+                "version-5 batch containers hold the whole batch in one "
+                "blob — pass it as the single element of strings[0]"
+            )
         if ver not in (1, 2, 3, 4):
             raise CodedStreamError(
                 f"unsupported device-ans container version {ver} "
-                "(this build reads versions 1-4)"
+                "(this build reads versions 1-5)"
             )
         capv_out = int(capv)
         if ver >= 4:  # per-plane value caps follow the base header
@@ -483,7 +643,15 @@ class WACNNCodec:
 
     @classmethod
     def _parse_blobs(cls, blobs: Sequence[bytes]) -> Dict[str, Any]:
-        """Parse a batch of blobs; headers must agree across the batch."""
+        """Parse a batch of blobs; headers must agree across the batch.
+        A single v5 batch container is detected and parsed directly."""
+        if (
+            len(blobs) == 1
+            and len(blobs[0]) >= 2
+            and blobs[0][0] == _BLOB_MAGIC
+            and blobs[0][1] == 5
+        ):
+            return cls._parse_batch_blob(blobs[0])
         parsed = [cls._parse_blob(s) for s in blobs]
         h0 = {
             k: parsed[0][k]
@@ -909,13 +1077,21 @@ class WACNNCodec:
             ]
         else:
             sidecars = [None] * b
-        strings = [
-            self._pack_blob(
-                states[i], counts[i], lane_words[i], split, capv=capv,
-                sidecar=sidecars[i], interleave=ilv,
-            )
-            for i in range(b)
-        ]
+        if self.coded_batch_container and b > 1:
+            strings = [
+                self._pack_batch_blob(
+                    states, counts, lane_words, split, capv=capv,
+                    sidecars=sidecars, interleave=ilv,
+                )
+            ]
+        else:
+            strings = [
+                self._pack_blob(
+                    states[i], counts[i], lane_words[i], split, capv=capv,
+                    sidecar=sidecars[i], interleave=ilv,
+                )
+                for i in range(b)
+            ]
         zh, zw = out["y_hat"].shape[1] // 4, out["y_hat"].shape[2] // 4
         result: Dict[str, Any] = {
             "strings": [strings],
@@ -1355,14 +1531,23 @@ class ScalableCodec(WACNNCodec):
             ]
         else:
             sidecars = [None] * b
-        strings = [
-            self._pack_blob(
-                states[i], counts[i], lane_words[i], split,
-                q=q, has_prog=with_prog, capv=capv, sidecar=sidecars[i],
-                interleave=ilv,
-            )
-            for i in range(b)
-        ]
+        if self.coded_batch_container and b > 1:
+            strings = [
+                self._pack_batch_blob(
+                    states, counts, lane_words, split,
+                    q=q, has_prog=with_prog, capv=capv, sidecars=sidecars,
+                    interleave=ilv,
+                )
+            ]
+        else:
+            strings = [
+                self._pack_blob(
+                    states[i], counts[i], lane_words[i], split,
+                    q=q, has_prog=with_prog, capv=capv, sidecar=sidecars[i],
+                    interleave=ilv,
+                )
+                for i in range(b)
+            ]
         shape = [tuple(out["z_shape"].shape)]
         if with_prog:
             shape.append(tuple(out["zp_shape"].shape))

@@ -715,3 +715,110 @@ def test_split_capv_tunable_roundtrip(codec, x):
     finally:
         codec.coded_split = False
         codec.split_cap_frac = 0.5
+
+
+# ---------------------------------------------------------------------------
+# batch container (v5) — one blob per batch for serving
+# ---------------------------------------------------------------------------
+
+
+def test_batch_container_roundtrip_bit_exact(codec, x):
+    """v5 batch mode emits ONE blob for the whole batch; the blob is
+    byte-equivalent in content to the per-image v3 blobs (same states/
+    counts/words) and decodes to the identical y_hat."""
+    out_per = codec.compress_coded(x, return_debug=True)
+    codec.coded_batch_container = True
+    try:
+        out = codec.compress_coded(x, return_debug=True)
+    finally:
+        codec.coded_batch_container = False
+    assert len(out["strings"][0]) == 1
+    blob = out["strings"][0][0]
+    assert blob[1] == 5  # version byte
+    # batch container must be smaller than the per-image blobs combined
+    assert len(blob) < sum(len(s) for s in out_per["strings"][0])
+    rec = codec.decompress_coded(out["strings"], out["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+    )
+
+
+def test_batch_container_split_with_caps(codec, x):
+    """v5 carries the per-plane caps block (flags bit3) and the split
+    flag; decode self-configures from the header even after the codec's
+    own tuning changes."""
+    codec.coded_batch_container = True
+    codec.coded_split = True
+    codec.split_cap_frac = (0.45, 0.20)
+    try:
+        out = codec.compress_coded(x, return_debug=True)
+        assert len(out["strings"][0]) == 1
+        assert out["strings"][0][0][1] == 5
+        hdr = codec._parse_batch_blob(out["strings"][0][0])
+        assert hdr["split"] and isinstance(hdr["capv"], tuple)
+        assert hdr["batch"] == x.shape[0]
+        codec.split_cap_frac = 0.5
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+    finally:
+        codec.coded_batch_container = False
+        codec.coded_split = False
+        codec.split_cap_frac = 0.5
+
+
+def test_batch_container_sidecar_lossless(codec, x):
+    """The batch container's per-image sidecar sections recover outliers
+    losslessly, matching the per-image-blob reconstruction exactly."""
+    codec.coded_batch_container = True
+    try:
+        out = codec.compress_coded(x, return_debug=True)
+        hdr = codec._parse_batch_blob(out["strings"][0][0])
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+    finally:
+        codec.coded_batch_container = False
+    out_per = codec.compress_coded(x, return_debug=True)
+    rec_per = codec.decompress_coded(out_per["strings"], out_per["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(rec_per["y_hat"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["y_hat"]), np.asarray(rec["y_hat"])
+    )
+
+
+def test_batch_container_validation(codec, x):
+    """Truncation and misuse raise CodedStreamError instead of desyncing."""
+    from resdsic_tpu.models.codec import CodedStreamError
+
+    codec.coded_batch_container = True
+    try:
+        out = codec.compress_coded(x)
+    finally:
+        codec.coded_batch_container = False
+    blob = out["strings"][0][0]
+    with pytest.raises(CodedStreamError, match="truncated"):
+        codec._parse_batch_blob(blob[: len(blob) // 2])
+    # a v5 blob passed alongside others hits the per-image parser
+    with pytest.raises(CodedStreamError, match="batch"):
+        codec.decompress_coded([[blob, blob]], out["shape"])
+
+
+def test_batch_container_scalable(scal_codec, x):
+    """Scalable family: one v5 blob carries the whole batch including the
+    progressive planes (has_prog flag + header quality)."""
+    scal_codec.coded_batch_container = True
+    try:
+        out = scal_codec.compress_coded(x, quality=1, return_debug=True)
+        if out["format"] != "device-ans":
+            pytest.skip("loss fallback engaged on this init")
+        assert len(out["strings"][0]) == 1
+        hdr = scal_codec._parse_batch_blob(out["strings"][0][0])
+        assert hdr["has_prog"] and hdr["q"] == 1
+        rec = scal_codec.decompress_coded(out["strings"], out["shape"])
+    finally:
+        scal_codec.coded_batch_container = False
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+    )
