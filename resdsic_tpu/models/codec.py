@@ -1309,14 +1309,30 @@ class WACNNCodec:
             out["y_hat"] = y_hat
         return out
 
-    def selftest(self, x: jax.Array) -> None:
-        """Verify fused-vs-stepped bit-exactness and roundtrip integrity on
-        the CURRENT backend (fusion-context numerics are empirical)."""
+    def selftest(self, x: jax.Array, require_stream_equality: bool = True) -> None:
+        """Verify the codec's cross-program determinism contract on the
+        CURRENT backend (fusion-context numerics are empirical).
+
+        Two layers:
+          1. REQUIRED (the correctness contract): decompress(compress(x))
+             reproduces the fused encoder's own y_hat bit-exactly — i.e.
+             the decoder-side recompute (hyper synthesis, slice mu/scale,
+             LRP) matches the encoder that produced the stream.
+          2. STRICT (require_stream_equality): the fused and stepped
+             encoders emit byte-identical streams. This additionally
+             requires the ENCODER-private transforms (g_a, h_a) to be
+             bit-identical across separately compiled programs. WACNN's
+             conv/GDN encoder satisfies it on TPU; TCM's strided-conv
+             swin encoder can differ by ulps between programs, producing
+             a different but equally valid stream — pass False there
+             (layer 1 still fully validates correctness).
+        """
         fused = self.compress(x, return_debug=True)
-        stepped = self.compress_stepped(x, return_debug=True)
-        for a, b in zip(fused["strings"], stepped["strings"]):
-            if list(a) != list(b):
-                raise AssertionError("fused/stepped streams differ")
+        if require_stream_equality:
+            stepped = self.compress_stepped(x, return_debug=True)
+            for a, b in zip(fused["strings"], stepped["strings"]):
+                if list(a) != list(b):
+                    raise AssertionError("fused/stepped streams differ")
         rec = self.decompress(fused["strings"], fused["shape"], return_debug=True)
         if not np.array_equal(np.asarray(rec["y_hat"]), np.asarray(fused["y_hat"])):
             raise AssertionError("decode did not reproduce encoder latents")
@@ -1961,18 +1977,24 @@ class ScalableCodec(WACNNCodec):
             out["y_hat"] = y_hat
         return out
 
-    def selftest(self, x: jax.Array, quality=1) -> None:
-        """Fused-vs-stepped stream equality + roundtrip integrity."""
+    def selftest(
+        self, x: jax.Array, quality=1, require_stream_equality: bool = True
+    ) -> None:
+        """Roundtrip integrity (+ optional fused-vs-stepped stream
+        equality — see WACNNCodec.selftest for the two-layer contract)."""
         fused = self.compress(x, quality=quality, return_debug=True)
-        stepped = self.compress_stepped(x, quality=quality, return_debug=True)
 
         def flat(group):
             if isinstance(group, (list, tuple)):
                 return [s for g in group for s in flat(g)]
             return [group]
 
-        if flat(fused["strings"]) != flat(stepped["strings"]):
-            raise AssertionError("fused/stepped scalable streams differ")
+        if require_stream_equality:
+            stepped = self.compress_stepped(
+                x, quality=quality, return_debug=True
+            )
+            if flat(fused["strings"]) != flat(stepped["strings"]):
+                raise AssertionError("fused/stepped scalable streams differ")
         rec = self.decompress(
             fused["strings"], fused["shape"], quality=quality, return_debug=True
         )

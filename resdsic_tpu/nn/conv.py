@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.pallas_conv import _conv3x3_xla, det_conv3x3, pallas_conv_enabled
+from ..ops.pallas_matmul import _matmul_xla, det_matmul
 
 Dtype = Any
 
@@ -58,12 +59,53 @@ class _Conv3x3S1(nn.Module):
         return _conv3x3_xla(x, kernel, bias, compute_dtype=self.dtype)
 
 
+class _Conv1x1S1(nn.Module):
+    """1x1 stride-1 conv with a deterministic Pallas matmul path.
+
+    Same contract as _Conv3x3S1: param layout (kernel (1,1,Cin,Cout) HWIO
+    + bias) matches nn.Conv exactly; on TPU the forward is a fixed Pallas
+    matmul artifact (ops/pallas_matmul.py) so separately compiled codec
+    programs agree bit-for-bit. TCM's decode-relevant path (ConvTransBlock
+    mixers, SWAtten in/out/gate convs, residual 1x1 skips — ref
+    tcm.py:238-287) is built from these.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, cin, self.features),
+            jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+        else:
+            bias = jnp.zeros((self.features,), jnp.float32)
+        b, h, w, _ = x.shape
+        x2 = x.reshape(b * h * w, cin)
+        w2 = kernel.reshape(cin, self.features)
+        if pallas_conv_enabled():
+            y = det_matmul(x2, w2, bias, self.dtype)
+        else:
+            y = _matmul_xla(x2, w2, bias, compute_dtype=self.dtype)
+        return y.reshape(b, h, w, self.features)
+
+
 class Conv(nn.Module):
     """2D convolution, torch-style symmetric padding k//2.
 
-    The 3x3/stride-1 case routes through the deterministic Pallas conv on
-    TPU (see _Conv3x3S1) — every decoder-side prediction transform in the
-    codec (hyper synthesis, cc mu/scale, LRP) is built from these.
+    The 3x3/stride-1 and 1x1/stride-1 cases route through deterministic
+    Pallas kernels on TPU (see _Conv3x3S1/_Conv1x1S1) — every decoder-side
+    prediction transform in the codec (hyper synthesis, cc mu/scale, LRP,
+    TCM swin/attention mixers) is built from these.
     """
 
     features: int
@@ -76,6 +118,11 @@ class Conv(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.kernel_size == 3 and self.stride == 1 and x.ndim == 4:
             return _Conv3x3S1(
+                self.features, use_bias=self.use_bias, dtype=self.dtype,
+                name="conv",
+            )(x)
+        if self.kernel_size == 1 and self.stride == 1 and x.ndim == 4:
+            return _Conv1x1S1(
                 self.features, use_bias=self.use_bias, dtype=self.dtype,
                 name="conv",
             )(x)

@@ -10,11 +10,14 @@ checkpoints load directly.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.math import NonNegativeParametrizer
+from ..ops.pallas_conv import pallas_conv_enabled
 
 
 class GDN(nn.Module):
@@ -22,7 +25,14 @@ class GDN(nn.Module):
     beta_min: float = 1e-6
     gamma_init: float = 0.1
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False  # fused Pallas kernel (forward); XLA otherwise
+    #: None = auto: fused Pallas kernel on TPU (RESDSIC_DET_CONV overrides,
+    #: the shared deterministic-parameter-path switch), XLA elsewhere.
+    #: The GDN's channel reduction (conv of x^2 against gamma) is exactly
+    #: the accumulation-order hazard that desyncs the codec across
+    #: separately compiled programs — TCM's hyper synthesis runs GDNs
+    #: inside the decode-relevant path (ResidualBlockUpsample), so the
+    #: deterministic kernel is required there (see ops/pallas_matmul.py).
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -46,7 +56,10 @@ class GDN(nn.Module):
         beta_v = beta_reparam(beta).astype(self.dtype)
         gamma_v = gamma_reparam(gamma).astype(self.dtype)
 
-        if self.use_pallas:
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = pallas_conv_enabled()
+        if use_pallas:
             from ..ops.pallas_gdn import gdn_pallas
 
             # kernel consumes gamma as (C_in, C_out): torch/our einsum uses

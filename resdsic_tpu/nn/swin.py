@@ -30,10 +30,73 @@ from ..ops.pallas_win_attention import (
 from .attention import _DenseParams
 
 from ..ops.math import NonNegativeParametrizer
+from ..ops.pallas_conv import pallas_conv_enabled
+from ..ops.pallas_matmul import (
+    _ln_xla,
+    _matmul_xla,
+    det_layernorm,
+    det_matmul,
+)
 from .conv import Conv, SubpelConv3x3, conv1x1, conv3x3, gelu
 from .gdn import GDN
 
 Dtype = Any
+
+
+class DetLayerNorm(nn.Module):
+    """LayerNorm with a deterministic Pallas execution path on TPU.
+
+    Param tree ({scale, bias}, f32) and semantics match nn.LayerNorm
+    (eps 1e-6, fast-variance f32 statistics) so checkpoints/converters are
+    unaffected. Needed because XLA lowers the LN reduction with program-
+    dependent accumulation order, which broke the codec's cross-program
+    bit-identity contract in TCM's prediction path (see
+    ops/pallas_matmul.py).
+    """
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x2 = x.reshape(-1, c)
+        if pallas_conv_enabled():
+            y = det_layernorm(x2, scale, bias, self.epsilon, self.dtype)
+        else:
+            y = _ln_xla(x2, scale, bias, eps=self.epsilon,
+                        out_dtype=self.dtype)
+        return y.reshape(x.shape)
+
+
+class DetDense(nn.Module):
+    """Dense layer with a deterministic Pallas matmul path on TPU.
+
+    Param tree ({kernel, bias}, f32) and init match nn.Dense; same
+    cross-program determinism rationale as DetLayerNorm.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        x2 = x.reshape(-1, cin)
+        if pallas_conv_enabled():
+            y = det_matmul(x2, kernel, bias, self.dtype)
+        else:
+            y = _matmul_xla(x2, kernel, bias, compute_dtype=self.dtype)
+        return y.reshape(*x.shape[:-1], self.features)
 
 
 def _leaky_relu(x):
@@ -264,18 +327,16 @@ class SwinTransformerBlock(nn.Module):
             )
             return r * keep_mask / keep
 
-        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = DetLayerNorm(dtype=self.dtype, name="ln1")(x)
         h = WMSA(
             self.input_dim, self.input_dim, self.head_dim,
             self.window_size, self.type, dtype=self.dtype, name="msa",
         )(h)
         x = x + maybe_drop(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
-        h = nn.Dense(4 * self.input_dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="mlp_0")(h)
+        h = DetLayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = DetDense(4 * self.input_dim, dtype=self.dtype, name="mlp_0")(h)
         h = gelu(h)
-        h = nn.Dense(self.output_dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="mlp_2")(h)
+        h = DetDense(self.output_dim, dtype=self.dtype, name="mlp_2")(h)
         return x + maybe_drop(h)
 
 

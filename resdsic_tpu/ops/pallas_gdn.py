@@ -34,12 +34,12 @@ def _gdn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, inverse: bool):
     xx = x * x
     norm = (
         jnp.dot(xx, gamma_ref[:], preferred_element_type=jnp.float32)
-        + beta_ref[:]
+        + beta_ref[:].astype(jnp.float32)
     )
-    if inverse:
-        o_ref[:] = x * jnp.sqrt(norm)
-    else:
-        o_ref[:] = x * jax.lax.rsqrt(norm)
+    r = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
+    # f32 epilogue, cast once at the output ref (bf16 inputs otherwise
+    # promote the product to f32 and trip the out-ref dtype check)
+    o_ref[:] = (x.astype(jnp.float32) * r).astype(o_ref.dtype)
 
 
 def _gdn_xla(x, gamma, beta, inverse):
