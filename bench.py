@@ -131,6 +131,11 @@ def main():
     repo = os.path.dirname(os.path.abspath(__file__))
     art_dir = os.path.join(repo, "artifacts")
     candidates = [
+        # committed checkpoint (survives machine moves; see
+        # artifacts_committed/README.md for provenance) — preferred so the
+        # driver's bench always runs the trained operating point
+        (os.path.join(repo, "artifacts_committed", "cnn_q65_bf16.npz"),
+         "trained λ=0.013 (committed artifact)"),
         # LMBDA=0.013 OUT=artifacts_q65 tools/train_flagship.sh run
         (os.path.join(repo, "artifacts_q65", "cnn_trained_bf16.npz"),
          "trained λ=0.013 (tools/train_flagship.py recipe)"),

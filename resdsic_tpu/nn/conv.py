@@ -40,7 +40,7 @@ class _Conv3x3S1(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_params: bool = False):
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -54,6 +54,10 @@ class _Conv3x3S1(nn.Module):
             )
         else:
             bias = jnp.zeros((self.features,), jnp.float32)
+        if return_params:
+            # fused callers (ops/pallas_resunit.py et al.) gather weights
+            # without computing; params are created under the same names
+            return kernel, bias
         if pallas_conv_enabled():
             return det_conv3x3(x, kernel, bias, self.dtype)
         return _conv3x3_xla(x, kernel, bias, compute_dtype=self.dtype)
@@ -75,7 +79,7 @@ class _Conv1x1S1(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_params: bool = False):
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -89,6 +93,8 @@ class _Conv1x1S1(nn.Module):
             )
         else:
             bias = jnp.zeros((self.features,), jnp.float32)
+        if return_params:
+            return kernel.reshape(cin, self.features), bias
         b, h, w, _ = x.shape
         x2 = x.reshape(b * h * w, cin)
         w2 = kernel.reshape(cin, self.features)
@@ -115,17 +121,18 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_params: bool = False):
         if self.kernel_size == 3 and self.stride == 1 and x.ndim == 4:
             return _Conv3x3S1(
                 self.features, use_bias=self.use_bias, dtype=self.dtype,
                 name="conv",
-            )(x)
+            )(x, return_params=return_params)
         if self.kernel_size == 1 and self.stride == 1 and x.ndim == 4:
             return _Conv1x1S1(
                 self.features, use_bias=self.use_bias, dtype=self.dtype,
                 name="conv",
-            )(x)
+            )(x, return_params=return_params)
+        assert not return_params, "return_params only for 3x3/1x1 stride-1"
         p = self.kernel_size // 2
         return nn.Conv(
             features=self.features,
