@@ -191,6 +191,7 @@ def main():
         ),
     }
     print(json.dumps(result, indent=2))
+    (REPO / "artifacts").mkdir(exist_ok=True)
     (REPO / "artifacts" / "rd_point.json").write_text(
         json.dumps(result, indent=2)
     )

@@ -102,6 +102,64 @@ def run_variant(x, weights, act, stages):
     return jnp.concatenate(outs, axis=1)
 
 
+def _kernel_g(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref,
+              *, th, w, c, c2p):
+    """Same math as _kernel act=gelu, but fed from a halo-replicated input
+    (B, n_tiles, TH+2, W, C) so ONE pallas_call with grid (B, n_tiles)
+    covers the whole map — tests whether the 8-sequential-calls structure
+    (per-call pipeline drain) is the cost."""
+    xt = x_ref[0, 0].astype(DT)
+    t = jnp.dot(xt.reshape((th + 2) * w, c), w1_ref[...].astype(DT),
+                preferred_element_type=jnp.float32) + b1_ref[...]
+    t = jax.nn.gelu(t.astype(DT), approximate=True).reshape(th + 2, w, c2p)
+    zcol = jnp.zeros((th + 2, 1, c2p), t.dtype)
+    tp = jnp.concatenate([zcol, t, zcol], axis=1)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            patch = tp[dy:dy + th, dx:dx + w, :].reshape(th * w, c2p)
+            z = jnp.dot(patch, w2_ref[dy, dx].astype(DT),
+                        preferred_element_type=jnp.float32)
+            acc = z if acc is None else acc + z
+    t2 = jax.nn.gelu((acc + b2_ref[...]).astype(DT), approximate=True)
+    out = jnp.dot(t2, w3_ref[...].astype(DT),
+                  preferred_element_type=jnp.float32) + b3_ref[...]
+    xc = xt[1:th + 1].reshape(th * w, c)
+    o = jax.nn.gelu(out.astype(DT) + xc, approximate=True)
+    o_ref[0, 0] = o.reshape(th, w, c).astype(o_ref.dtype)
+
+
+def run_g(x, weights):
+    """Halo-replicate x at the XLA level (one gather, ~1.08x copy), then a
+    single pallas_call with grid (B, n_tiles). Halo rows outside the image
+    are zeros from the pad, matching SAME semantics (interior tiles only
+    here: H % TH == 0 and gelu-mask skipped — fine for timing; the masked
+    row fix costs nothing extra as measured by variant a vs c)."""
+    w1, b1, w2, b2, w3, b3 = weights
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    nt = H // TH
+    # (B, nt, TH+2, W, C) overlapping tiles
+    idx = (jnp.arange(nt) * TH)[:, None] + jnp.arange(TH + 2)[None]
+    xt = xp[:, idx]  # gather over H
+    return pl.pallas_call(
+        functools.partial(_kernel_g, th=TH, w=W, c=C, c2p=C2P),
+        out_shape=jax.ShapeDtypeStruct((B, nt, TH, W, C), DT),
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, TH + 2, W, C), lambda i, j: (i, j, 0, 0, 0)),
+            pl.BlockSpec((C, C2P), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, C2P), lambda i, j: (0, 0)),
+            pl.BlockSpec((3, 3, C2P, C2P), lambda i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((1, C2P), lambda i, j: (0, 0)),
+            pl.BlockSpec((C2P, C), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TH, W, C), lambda i, j: (i, j, 0, 0, 0)
+        ),
+    )(xt, w1, b1, w2, b2, w3, b3).reshape(B, H, W, C)
+
+
 def _matmul_kernel(x_ref, w_ref, o_ref):
     o_ref[0] = (
         jnp.dot(x_ref[0].reshape(-1, C).astype(DT), w_ref[...].astype(DT),
@@ -128,12 +186,16 @@ def run_matmul(x, wmm):
 
 
 def _looped(fn, k):
+    # cheap feedback: single-element update + partial sum, so harness
+    # overhead stays ~10us/iter instead of a full-array add (~0.5 ms at
+    # this shape); variant h times the harness alone for subtraction
     def looped(x):
         def body(i, carry):
             x_in, acc = carry
             out = fn(x_in)
-            s = jnp.sum(out.astype(jnp.float32))
-            return (x_in + (1e-12 * s).astype(x_in.dtype), acc + s)
+            s = jnp.sum(out[:, :2].astype(jnp.float32))
+            return (x_in.at[0, 0, 0, 0].add((1e-12 * s).astype(x_in.dtype)),
+                    acc + s)
 
         _, acc = jax.lax.fori_loop(0, k, body, (x, jnp.float32(0)))
         return acc
@@ -173,7 +235,9 @@ def main():
 
     import sys
 
-    which = sys.argv[1] if len(sys.argv) > 1 else "bcdef"
+    which = sys.argv[1] if len(sys.argv) > 1 else "bcdefh"
+    if "h" in which:
+        bench("h harness only (identity)", lambda x_: x_, x)
     if "b" in which:
         bench("b full (relu)",
               lambda x_: run_variant(x, weights, "relu", "123"), x)
@@ -188,6 +252,9 @@ def main():
               lambda x_: run_variant(x, weights, "none", "13"), x)
     if "f" in which:
         bench("f single 192x192 matmul", lambda x_: run_matmul(x, wmm), x)
+    if "g" in which:
+        bench("g one-call halo-replicated (gelu)",
+              lambda x_: run_g(x, weights), x)
 
 
 if __name__ == "__main__":
