@@ -132,8 +132,7 @@ def main():
     art_dir = os.path.join(repo, "artifacts")
     candidates = [
         # committed checkpoint (survives machine moves; see
-        # artifacts_committed/README.md for provenance) — preferred so the
-        # driver's bench always runs the trained operating point
+        # artifacts_committed/README.md for provenance)
         (os.path.join(repo, "artifacts_committed", "cnn_q65_bf16.npz"),
          "trained λ=0.013 (committed artifact)"),
         # LMBDA=0.013 OUT=artifacts_q65 tools/train_flagship.sh run
@@ -142,12 +141,29 @@ def main():
         (os.path.join(art_dir, "cnn_trained_bf16.npz"),
          "trained λ=0.025 (tools/train_flagship.py recipe)"),
     ]
-    trained = next((p for p, _ in candidates if os.path.exists(p)), None)
+    # RESDSIC_BENCH_NPZ pins an explicit artifact; otherwise the NEWEST
+    # existing candidate wins (a freshly retrained local artifact beats
+    # the committed fallback; a fresh clone has only the committed one) —
+    # ADVICE r3: don't silently shadow a retrained artifact.
+    env_npz = os.environ.get("RESDSIC_BENCH_NPZ", "")
+    existing = [(p, k) for p, k in candidates if os.path.exists(p)]
+    if env_npz:
+        trained = env_npz
+        weights_kind = f"trained ({env_npz})"
+        shadowed = [p for p, _ in existing]
+    elif existing:
+        trained, weights_kind = max(
+            existing, key=lambda pk: os.path.getmtime(pk[0])
+        )
+        shadowed = [p for p, _ in existing if p != trained]
+    else:
+        trained, shadowed = None, []
+    for p in shadowed:
+        print(f"# note: checkpoint {p} shadowed by selection", file=sys.stderr)
     if trained is not None:
         from resdsic_tpu.utils.checkpoint import load_params_npz
 
         params = load_params_npz(trained, params)
-        weights_kind = dict(candidates)[trained]
     else:
         params = scale_latents(params, Y_SCALE)
         weights_kind = "latent-scaled random"

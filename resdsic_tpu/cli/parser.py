@@ -25,22 +25,25 @@ def parse_args(argv=None):
     parser.add_argument("--num_images_val", default=10000, type=int)
     parser.add_argument("--save_path", default="./checkpoints", type=str)
 
+    from ..models import models as _registry
+
     parser.add_argument(
         "-m", "--model", default="ind", type=str,
-        choices=["cnn", "ind", "icd", "imd", "cicd", "cimd"],
+        choices=sorted(_registry),  # incl. tcm/tcm_shared/tcm_ind
     )
     parser.add_argument(
         "--lambda_list", dest="lambda_list", nargs="+", type=float,
         default=[0.0035, 0.065],
     )
-    parser.add_argument(
-        "--mask_policy", default="two-levels", type=str,
-        choices=[
-            "two-levels", "learnable-mask", "point-based-std",
-            "all-one", "all-zero",
-        ],
-    )
-    parser.add_argument("--N", default=192, type=int)
+    # no choices restriction (ref parser.py:37 has none): the shared
+    # family validates {two-levels, learnable-mask, point-based-std,
+    # all-one, all-zero}; the icd family's Mask module adds
+    # {learnable-mask-gamma, learnable-mask-nested, scalable_res} —
+    # an unknown policy raises NotImplementedError at trace time
+    parser.add_argument("--mask_policy", default="two-levels", type=str)
+    parser.add_argument("--N", default=192, type=int,
+                        help="WACNN-family width (TCM geometry is fixed "
+                        "by its class defaults)")
     parser.add_argument("--M", default=320, type=int)
     parser.add_argument("--lrp_prog", action="store_true", default=True)
     parser.add_argument("--no-lrp_prog", dest="lrp_prog", action="store_false")

@@ -45,16 +45,26 @@ def get_model(name: str):
     return models[name]
 
 
+# registry keys whose classes take the scalable ctor surface
+# (lmbda_list / mask_policy / lrp flags); "tcm" is single-layer like "cnn"
+SCALABLE_MODELS = frozenset(
+    ("ind", "icd", "imd", "cicd", "cimd", "tcm_shared", "tcm_ind")
+)
+
+
 def configure_model(args):
     """Build a model from a parsed-args namespace (ref models/__init__.py:33-63)."""
     name = getattr(args, "model", "cnn")
     cls = get_model(name)
     kwargs = {}
-    if hasattr(args, "N"):
-        kwargs["N"] = args.N
-    if hasattr(args, "M"):
-        kwargs["M"] = args.M
-    if name != "cnn":
+    if not name.startswith("tcm"):
+        # TCM geometry (N=128, Swin config) is fixed by its class defaults;
+        # the parser's --N/--M defaults describe the WACNN family only
+        if hasattr(args, "N"):
+            kwargs["N"] = args.N
+        if hasattr(args, "M"):
+            kwargs["M"] = args.M
+    if name in SCALABLE_MODELS:
         kwargs.update(_scalable_kwargs(args))
     return cls(**kwargs)
 
@@ -67,7 +77,7 @@ def _scalable_kwargs(args):
         ("lrp_prog", "lrp_prog"),
         ("independent_lrp", "independent_lrp"),
     ]
-    if name == "ind":
+    if name in ("ind", "tcm_ind"):
         fields.append(("multiple_decoder", "multiple_decoder"))
     if name in ("cicd", "cimd"):
         fields.append(("joiner_policy", "joiner_policy"))

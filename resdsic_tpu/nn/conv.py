@@ -55,8 +55,8 @@ class _Conv3x3S1(nn.Module):
         else:
             bias = jnp.zeros((self.features,), jnp.float32)
         if return_params:
-            # fused callers (ops/pallas_resunit.py et al.) gather weights
-            # without computing; params are created under the same names
+            # fused callers gather weights without computing; params are
+            # created under the same names either way
             return kernel, bias
         if pallas_conv_enabled():
             return det_conv3x3(x, kernel, bias, self.dtype)

@@ -95,13 +95,19 @@ def save_params_npz(params, path: str, full_precision: bool = False):
     os.replace(tmp, path)
 
 
-def load_params_npz(path: str, like):
-    """Restore a tree saved by save_params_npz onto `like`'s structure."""
+def load_params_npz(path: str, like, partial: bool = False):
+    """Restore a tree saved by save_params_npz onto `like`'s structure.
+
+    partial=True keeps `like`'s value for keys absent from the file —
+    used to warm-start a scalable model's base branch from a trained
+    WACNN artifact (the shared modules carry identical names); missing
+    keys (the progressive branch) keep their fresh init."""
     import jax.numpy as jnp
 
     data = np.load(path, allow_pickle=False)
     flat, treedef = jax.tree_util.tree_flatten_with_path(like)
     out = []
+    n_loaded = n_kept = 0
     for kp, v in flat:
         key = "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
@@ -109,7 +115,25 @@ def load_params_npz(path: str, like):
         if key + "::bf16" in data:
             raw = data[key + "::bf16"].view(jnp.bfloat16)
             a = jnp.asarray(raw).astype(jnp.float32)
-        else:
+        elif key in data:
             a = jnp.asarray(data[key])
+        elif partial:
+            out.append(v)
+            n_kept += 1
+            continue
+        else:
+            raise KeyError(
+                f"{path} is missing parameter '{key}' (pass partial=True "
+                "to keep the initialization for absent keys)"
+            )
+        n_loaded += 1
         out.append(a.reshape(v.shape))
+    if partial and n_kept:
+        import sys
+
+        print(
+            f"load_params_npz: {n_loaded} tensors loaded, "
+            f"{n_kept} kept from init (partial warm-start)",
+            file=sys.stderr,
+        )
     return jax.tree_util.tree_unflatten(treedef, out)

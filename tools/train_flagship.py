@@ -120,10 +120,62 @@ from resdsic_tpu.utils.checkpoint import (  # noqa: E402,F401
 )
 
 
+class TailPenaltyLoss:
+    """Wrap an RD criterion with a latent-tail penalty (ROADMAP item 0).
+
+    Adds w * sum(relu(bits - thresh)) / num_pixels over every likelihood
+    stream: only elements the continuous model already prices above
+    `thresh` bits (the heavy tail the integer coder must clamp or
+    sidecar-code) receive gradient, pushing their modeled scale up /
+    residual down. Units are bpp-over-threshold, so w is comparable to
+    the bpp term of the RD loss."""
+
+    def __init__(self, base, w: float, thresh: float = 14.0):
+        self.base = base
+        self.w = w
+        self.thresh = thresh
+
+    def __call__(self, output, target, lmbda=None):
+        import math
+
+        crit = self.base(output, target, lmbda)
+        num_pixels = target.shape[0] * target.shape[1] * target.shape[2]
+        pen = sum(
+            jnp.sum(
+                jax.nn.relu(
+                    -jnp.log2(l.astype(jnp.float32) + 1e-12) - self.thresh
+                )
+            )
+            for l in output["likelihoods"].values()
+        ) / num_pixels
+        crit["tail_penalty"] = pen
+        crit["loss"] = crit["loss"] + self.w * pen
+        return crit
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--lmbda", type=float, default=0.025)
+    ap.add_argument(
+        "--model", default="cnn", choices=("cnn", "ind"),
+        help="cnn = flagship WACNN; ind = the scalable two-layer flagship "
+        "(ResWACNNIndependentEntropy, the reference registry's DEFAULT)",
+    )
+    ap.add_argument(
+        "--lambda-list", type=float, nargs="+", default=[0.0035, 0.065],
+        help="scalable-model lambda grid (ref parser.py:33 default); "
+        "ignored for --model cnn (use --lmbda)",
+    )
+    ap.add_argument(
+        "--mask-policy", default="two-levels",
+        help="scalable mask policy (ref parser.py:37 default)",
+    )
+    ap.add_argument(
+        "--tail-penalty", type=float, default=0.0,
+        help="latent-tail regularization weight (TailPenaltyLoss): "
+        "shrinks the int8-outlier mass the device coder must sidecar-code",
+    )
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-4)
@@ -166,21 +218,41 @@ def main():
     )
     args = ap.parse_args()
 
-    from resdsic_tpu.models import WACNN
-    from resdsic_tpu.training.loss import RateDistortionLoss
+    from resdsic_tpu.models import WACNN, ResWACNNIndependentEntropy
+    from resdsic_tpu.training.loss import (
+        RateDistortionLoss,
+        ScalableRateDistortionLoss,
+    )
     from resdsic_tpu.training.state import create_train_state
     from resdsic_tpu.training.step import make_train_step
 
     print(f"devices: {jax.devices()}", flush=True)
-    model = WACNN()  # f32 training; bench serves the same params in bf16
+    if args.model == "ind":
+        # reference defaults (parser.py:28-39): lrp_prog on, independent
+        # LRP off, single decoder, two-levels mask
+        model = ResWACNNIndependentEntropy(
+            lmbda_list=tuple(args.lambda_list),
+            mask_policy=args.mask_policy,
+        )
+        criterion = ScalableRateDistortionLoss(tuple(args.lambda_list))
+    else:
+        model = WACNN()  # f32 training; bench serves the params in bf16
+        criterion = RateDistortionLoss(lmbda=args.lmbda)
+    if args.tail_penalty > 0:
+        criterion = TailPenaltyLoss(criterion, args.tail_penalty)
     params = jax.jit(model.init)(
         {"params": jax.random.key(args.seed), "noise": jax.random.key(1)},
         jnp.zeros((1, 64, 64, 3), jnp.float32),
     )
     state = create_train_state(params)
     if args.init_npz:
+        # partial: an `ind` warm-start from the trained WACNN artifact
+        # loads the shared base branch and keeps the progressive branch's
+        # fresh init (identical module names, utils/checkpoint.py)
         state = state.replace(
-            params=load_params_npz(args.init_npz, state.params)
+            params=load_params_npz(
+                args.init_npz, state.params, partial=True
+            )
         )
         print(f"warm-started params from {args.init_npz}", flush=True)
     mask = None
@@ -202,9 +274,7 @@ def main():
         )
         print(f"freeze-transforms: {n_frozen} params frozen (g_a/g_s)",
               flush=True)
-    step = make_train_step(
-        model, RateDistortionLoss(lmbda=args.lmbda), trainable_mask=mask
-    )
+    step = make_train_step(model, criterion, trainable_mask=mask)
 
     assets = _load_assets()
     # separate generators for pool synthesis vs batch choice so a cached
@@ -232,7 +302,8 @@ def main():
 
     out = Path(args.out)
     out.mkdir(exist_ok=True)
-    ckpt_path = str(out / "cnn_trained_bf16.partial.npz")
+    stem = f"{args.model}_trained_bf16"
+    ckpt_path = str(out / f"{stem}.partial.npz")
     start = 0
     if args.resume and Path(ckpt_path).exists():
         meta = np.load(ckpt_path, allow_pickle=False)
@@ -291,10 +362,10 @@ def main():
                 flush=True,
             )
 
-    save_params_npz(state.params, str(out / "cnn_trained_bf16.npz"))
+    save_params_npz(state.params, str(out / f"{stem}.npz"))
     (out / "train_log.json").write_text(json.dumps(
         {"args": vars(args), "log": log}, indent=2))
-    print(f"saved {out}/cnn_trained_bf16.npz", flush=True)
+    print(f"saved {out}/{stem}.npz", flush=True)
 
 
 if __name__ == "__main__":

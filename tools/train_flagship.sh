@@ -11,6 +11,10 @@ STEPS=${1:-6000}
 CHUNK=${CHUNK:-500}
 POOL=${POOL:-/tmp/flagship_pool.npy}
 LMBDA=${LMBDA:-0.025}
+MODEL=${MODEL:-cnn}      # cnn | ind (scalable flagship)
+LAMBDAS=${LAMBDAS:-}     # e.g. "0.0035 0.065" for MODEL=ind
+TAIL=${TAIL:-0}          # --tail-penalty weight (latent-range reg)
+BATCH=${BATCH:-16}
 OUT=${OUT:-artifacts}
 LR=${LR:-1e-4}
 INIT=${INIT:-}   # warm-start artifact for fine-tune continuations
@@ -20,7 +24,7 @@ FREEZE=${FREEZE:-0}  # 1 = entropy-settling tail (--freeze-transforms)
 if [ "${RESUME_START:-0}" -eq 1 ]; then
   first=0
 else
-  rm -f "$OUT/cnn_trained_bf16.partial.npz"
+  rm -f "$OUT/${MODEL}_trained_bf16.partial.npz"
   first=1
 fi
 while true; do
@@ -30,8 +34,10 @@ while true; do
   # partial checkpoint, which already carries the fine-tuned params
   if [ -n "$INIT" ] && [ -z "$RESUME" ]; then EXTRA="--init-npz $INIT"; fi
   if [ "$FREEZE" -eq 1 ]; then EXTRA="$EXTRA --freeze-transforms"; fi
+  if [ -n "$LAMBDAS" ]; then EXTRA="$EXTRA --lambda-list $LAMBDAS"; fi
+  if [ "$TAIL" != "0" ]; then EXTRA="$EXTRA --tail-penalty $TAIL"; fi
   python tools/train_flagship.py --steps "$STEPS" --lmbda "$LMBDA" \
-    --out "$OUT" --lr "$LR" \
+    --model "$MODEL" --batch "$BATCH" --out "$OUT" --lr "$LR" \
     --sync-every 8 --ckpt-every "$CHUNK" --max-per-run "$CHUNK" \
     --pool-cache "$POOL" $RESUME $EXTRA
   rc=$?
