@@ -209,6 +209,53 @@ class WACNNCodec:
                 "interleave",
             ),
         )
+        # serving mesh (place_on_mesh): when set, the coded paths shard
+        # the batch over the mesh's data axes — SURVEY §2.11's TPU-native
+        # serving story (pure data parallelism; lanes are per-image, so
+        # the rANS scans never cross devices)
+        self.serve_mesh = None
+
+    def place_on_mesh(self, mesh) -> None:
+        """Bind a jax.sharding.Mesh for data-parallel coded serving.
+
+        Params and CDF tables are replicated over the mesh;
+        compress_coded then shards the input batch over the mesh's axes
+        and decompress_coded shards the per-image header arrays the same
+        way (the flat word stream is replicated — compressed bytes are
+        tiny next to the transform activations). Blobs are bit-identical
+        to single-device serving (tests/test_coded_path.py)."""
+        from ..parallel.mesh import replicate
+
+        self._check_updated()
+        repl = replicate(mesh)
+        self.serve_mesh = mesh
+        self.params = jax.device_put(self.params, repl)
+        self.dev_tables = jax.device_put(self.dev_tables, repl)
+        if getattr(self, "split_tables", None) is not None:
+            self.split_tables = jax.device_put(self.split_tables, repl)
+
+    def _place_batch(self, arr, b: Optional[int] = None):
+        """Shard a batch-leading array over the serving mesh (replicate
+        when the batch doesn't divide the mesh)."""
+        if self.serve_mesh is None:
+            return arr if isinstance(arr, jax.Array) else jnp.asarray(arr)
+        from ..parallel.mesh import batch_sharding, replicate
+
+        n = int(np.prod([self.serve_mesh.shape[a]
+                         for a in self.serve_mesh.axis_names]))
+        b = int(arr.shape[0]) if b is None else b
+        sh = (
+            batch_sharding(self.serve_mesh)
+            if b % n == 0 else replicate(self.serve_mesh)
+        )
+        return jax.device_put(arr, sh)
+
+    def _place_replicated(self, arr):
+        if self.serve_mesh is None:
+            return jnp.asarray(arr)
+        from ..parallel.mesh import replicate
+
+        return jax.device_put(arr, replicate(self.serve_mesh))
 
     @staticmethod
     def _warn_saturation(out: Dict[str, Any]) -> None:
@@ -1087,6 +1134,7 @@ class WACNNCodec:
             skw["cap"] = int(self.coded_word_cap)
         skw["interleave"] = ilv = bool(self.coded_interleave)
         sk = int(self.sidecar_cap or 0)
+        x = self._place_batch(x)
         out = self._encode_coded_fn(
             self.params, x, self.dev_tables, lanes=L, sidecar_cap=sk, **skw
         )
@@ -1208,13 +1256,17 @@ class WACNNCodec:
             else {}
         )
         if hdr["sidecar"] is not None:
-            skw["outlier_pos"] = jnp.asarray(hdr["sidecar"][0])
-            skw["outlier_delta"] = jnp.asarray(hdr["sidecar"][1])
+            skw["outlier_pos"] = self._place_batch(
+                jnp.asarray(hdr["sidecar"][0]), b
+            )
+            skw["outlier_delta"] = self._place_batch(
+                jnp.asarray(hdr["sidecar"][1]), b
+            )
         x_hat, y_hat, drained = self._decode_coded_fn(
             self.params,
-            jnp.asarray(padded),
-            jnp.asarray(counts),
-            jnp.asarray(states),
+            self._place_replicated(padded),
+            self._place_batch(jnp.asarray(counts), b),
+            self._place_batch(jnp.asarray(states), b),
             self.dev_tables,
             z_shape=(b, shape[0], shape[1], c),
             lanes=L,
@@ -1579,6 +1631,7 @@ class ScalableCodec(WACNNCodec):
             skw["cap"] = int(self.coded_word_cap)
         skw["interleave"] = ilv = bool(self.coded_interleave)
         sk = int(self.sidecar_cap or 0)
+        x = self._place_batch(x)
         out = self._encode_coded_fn(
             self.params, x, self.dev_tables, q=q, lanes=L, sidecar_cap=sk,
             **skw,
@@ -1735,13 +1788,17 @@ class ScalableCodec(WACNNCodec):
             else {}
         )
         if hdr["sidecar"] is not None:
-            skw["outlier_pos"] = jnp.asarray(hdr["sidecar"][0])
-            skw["outlier_delta"] = jnp.asarray(hdr["sidecar"][1])
+            skw["outlier_pos"] = self._place_batch(
+                jnp.asarray(hdr["sidecar"][0]), b
+            )
+            skw["outlier_delta"] = self._place_batch(
+                jnp.asarray(hdr["sidecar"][1]), b
+            )
         x_hat, y_hat, drained = self._decode_coded_fn(
             self.params,
-            jnp.asarray(padded),
-            jnp.asarray(counts),
-            jnp.asarray(states),
+            self._place_replicated(padded),
+            self._place_batch(jnp.asarray(counts), b),
+            self._place_batch(jnp.asarray(states), b),
             self.dev_tables,
             z_shape=(b, zh, zw, c),
             zp_shape=zp_shape,

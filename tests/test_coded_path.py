@@ -822,3 +822,61 @@ def test_batch_container_scalable(scal_codec, x):
     np.testing.assert_array_equal(
         np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
     )
+
+
+def test_coded_serving_on_mesh_bit_exact(codec):
+    """Driver-level mesh serving (VERDICT r3 missing #6): place_on_mesh
+    shards compress_coded/decompress_coded over the 8-device data mesh;
+    the emitted blobs are BIT-EXACT vs single-device serving and the
+    decode reproduces the encoder's reconstruction."""
+    from resdsic_tpu.parallel.mesh import make_mesh
+
+    x8 = jax.random.uniform(jax.random.key(11), (8, 64, 64, 3), jnp.float32)
+
+    # single-device ground truth
+    ref = codec.compress_coded(x8, return_debug=True)
+    assert ref["format"] == "device-ans"
+
+    mesh = make_mesh(8)
+    codec.place_on_mesh(mesh)
+    try:
+        out = codec.compress_coded(x8, return_debug=True)
+        assert out["format"] == "device-ans"
+        assert [bytes(b) for b in out["strings"][0]] == [
+            bytes(b) for b in ref["strings"][0]
+        ], "mesh-sharded blobs differ from single-device blobs"
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+        xh = np.asarray(rec["x_hat"])
+        assert xh.shape == x8.shape
+    finally:
+        codec.serve_mesh = None
+
+
+def test_coded_serving_on_mesh_scalable(scal_codec):
+    """The scalable blob path serves over the mesh too (both quality
+    levels; q=1 carries the progressive planes + prog sidecar)."""
+    from resdsic_tpu.parallel.mesh import make_mesh
+
+    x8 = jax.random.uniform(jax.random.key(12), (8, 64, 64, 3), jnp.float32)
+    ref0 = scal_codec.compress_coded(x8, quality=0, return_debug=True)
+    ref1 = scal_codec.compress_coded(x8, quality=1, return_debug=True)
+
+    mesh = make_mesh(8)
+    scal_codec.place_on_mesh(mesh)
+    try:
+        for q, ref in ((0, ref0), (1, ref1)):
+            out = scal_codec.compress_coded(x8, quality=q, return_debug=True)
+            assert [bytes(b) for b in out["strings"][0]] == [
+                bytes(b) for b in ref["strings"][0]
+            ], f"q={q}: mesh blobs differ"
+            rec = scal_codec.decompress_coded(
+                out["strings"], out["shape"], quality=q
+            )
+            np.testing.assert_array_equal(
+                np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+            )
+    finally:
+        scal_codec.serve_mesh = None
