@@ -94,16 +94,142 @@ def make_images(n: int, seed: int = 0, trained: bool = False) -> np.ndarray:
     return np.clip(imgs, 0, 1)
 
 
-def scale_latents(params, factor: float):
+def scale_latents(params, factor: float, last_ga: str = "g_a_7"):
     """Scale the final g_a conv so y/z symbols match trained statistics."""
     import flax
 
     p = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
     tree = jax.tree_util.tree_map(lambda a: a, p)  # shallow-safe copy
-    ga7 = tree["params"]["g_a_7"]["conv"]
+    node = tree["params"][last_ga]
+    ga7 = node["conv"] if "conv" in node else node
     ga7["kernel"] = ga7["kernel"] * factor
     ga7["bias"] = ga7["bias"] * factor
     return tree
+
+
+def _last_ga_name(params) -> str:
+    """Name of the final g_a submodule (g_a_<max index>)."""
+    idxs = [
+        int(k[len("g_a_"):]) for k in params["params"]
+        if k.startswith("g_a_") and k[len("g_a_"):].isdigit()
+    ]
+    return f"g_a_{max(idxs)}"
+
+
+def bench_secondary(model_name: str):
+    """s/image lines for the non-headline families (VERDICT r3 next #1/#8).
+
+    --model ind: the scalable two-layer flagship (ResWACNNIndependentEntropy,
+    the reference registry's DEFAULT) at its TOP quality — base AND
+    progressive layers coded, i.e. ~2x the WACNN transform+coding work.
+    Baseline context: the reference publishes no scalable timing; the line
+    quotes speedup vs the single-layer WACNN 0.24 s baseline, labeled.
+
+    --model tcm: the Swin-based TCM codec (ref tcm.py:310-626). Baseline
+    0.30 s/image = the STF anchor the reference quotes (README.md:86,
+    0.15 enc + 0.15 dec) — the closest published Swin-codec timing.
+    No trained TCM checkpoint exists in-repo; random init with the final
+    g_a conv scaled to land near the ~0.65 bpp operating point, labeled.
+    """
+    import os
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from resdsic_tpu.models import (
+        TCM,
+        ResWACNNIndependentEntropy,
+        ScalableCodec,
+        StreamingCodec,
+        WACNNCodec,
+    )
+    from resdsic_tpu.utils.checkpoint import load_params_npz
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    t = time.perf_counter()
+    if model_name == "ind":
+        batch = 32  # two coded layers ~ 2x WACNN activations; fits v5e HBM
+        baseline, base_label = 0.24, "WACNN 0.24s (no published scalable timing)"
+        model = ResWACNNIndependentEntropy(dtype=jnp.bfloat16)
+        quality = len(model.lmbda_list) - 1  # top level: base + prog coded
+    else:
+        batch = 16  # Swin window attention is activation-heavy at 768x512
+        baseline, base_label = 0.30, "STF anchor 0.30s (README.md:86)"
+        model = TCM(dtype=jnp.bfloat16)
+        quality = None
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    npz = os.environ.get(
+        "RESDSIC_BENCH_NPZ",
+        os.path.join(repo, "artifacts_ind", f"{model_name}_trained_bf16.npz"),
+    )
+    if os.path.exists(npz):
+        params = load_params_npz(npz, params)
+        weights_kind = f"trained ({os.path.basename(npz)})"
+    else:
+        params = scale_latents(params, Y_SCALE, _last_ga_name(params))
+        weights_kind = "latent-scaled random init"
+    codec = (
+        ScalableCodec(model, params) if model_name == "ind"
+        else WACNNCodec(model, params)
+    )
+    codec.update()
+    print(f"# init {time.perf_counter()-t:.1f}s [{weights_kind}]",
+          file=sys.stderr)
+
+    imgs = make_images(batch, trained=weights_kind.startswith("trained"))
+    x = jnp.asarray(imgs)
+    qkw = {} if quality is None else {"quality": quality}
+    codec.coded_lanes = 512
+    codec.autotune_coded(x, **qkw)
+    t = time.perf_counter()
+    out_c = codec.compress_coded(x, **qkw)
+    codec.decompress_coded(out_c["strings"], out_c["shape"], **qkw)
+    print(f"# coded compile+run {time.perf_counter()-t:.1f}s", file=sys.stderr)
+
+    coded_times, coded_bytes = [], 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out_c = codec.compress_coded(x, **qkw)
+        rec_c = codec.decompress_coded(out_c["strings"], out_c["shape"], **qkw)
+        np.asarray(rec_c["x_hat"][:1, :1, :1])  # real sync (fetch)
+        coded_times.append(time.perf_counter() - t0)
+        coded_bytes = sum(len(s) for s in out_c["strings"][0])
+    seq_s = min(coded_times) / batch
+    coded_bpp = coded_bytes * 8 / (batch * H * W)
+
+    stream = StreamingCodec(
+        codec, n_encode_workers=3, n_decode_workers=3, max_inflight=5,
+        coded=True, quality=quality,
+    )
+    batches = [x for _ in range(PIPE_BATCHES)]
+    stream.map(batches[:2])  # warm the worker path
+    pipe_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        stream.map(batches)
+        pipe_runs.append((time.perf_counter() - t0) / (PIPE_BATCHES * batch))
+    pipe_s = sorted(pipe_runs)[1]
+
+    s_per_image = min(seq_s, pipe_s)
+    print(json.dumps({
+        "metric": f"kodak_encdec_s_per_image_{model_name}",
+        "value": round(s_per_image, 5),
+        "unit": "s/image",
+        "vs_baseline": round(baseline / s_per_image, 3),
+    }))
+    print(
+        f"# detail[{model_name}]: device-coded sequential {seq_s:.4f}s/img, "
+        f"pipelined {pipe_s:.4f}s/img (spread {min(pipe_runs):.4f}-"
+        f"{max(pipe_runs):.4f}); bpp {coded_bpp:.3f} ({weights_kind}), "
+        f"batch={batch}"
+        + (f", quality=q{quality} (base+prog)" if quality is not None else "")
+        + f"; baseline = {base_label}",
+        file=sys.stderr,
+    )
 
 
 def main():
@@ -348,4 +474,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--model", default="cnn", choices=("cnn", "ind", "tcm"),
+        help="cnn = headline driver bench (default, unchanged output "
+        "contract); ind/tcm = secondary per-family s/image lines",
+    )
+    cli = ap.parse_args()
+    if cli.model == "cnn":
+        main()
+    else:
+        bench_secondary(cli.model)

@@ -1,7 +1,10 @@
 """Head-to-head training A/B vs the reference (VERDICT r3 next #3b).
 
-Trains the SAME tiny-N WACNN (N=64, M=320 — the reference class hardcodes
-M/num_slices, cnn.py:91-129) in BOTH frameworks from the SAME initial
+Trains the SAME WACNN (N=192, M=320 — the reference class is only valid
+at full width: h_a's output is hardcoded to 192 channels, cnn.py:65,
+while EntropyBottleneck(N) uses N, so any N!=192 crashes its forward;
+the "small config" lever here is tiny crops/batches/steps, identical on
+both sides) in BOTH frameworks from the SAME initial
 weights (torch init converted through utils/torch_convert.py) on the SAME
 deterministic batch sequence with the same optimizer settings (Adam 1e-4
 main / 1e-3 on EB quantiles, grad-clip 1.0 — src/train.py:55-89), one run
@@ -170,7 +173,11 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--crop", type=int, default=64)
-    ap.add_argument("--n-width", type=int, default=64)
+    ap.add_argument(
+        "--n-width", type=int, default=192,
+        help="must be 192: the reference hyper nets hardcode 192-channel "
+        "z (cnn.py:65) while EntropyBottleneck(N) uses N",
+    )
     ap.add_argument("--lmbdas", type=float, nargs="+",
                     default=[0.0035, 0.013, 0.05])
     ap.add_argument("--eval-n", type=int, default=6)
