@@ -72,8 +72,12 @@ def save_params_npz(params, path: str, full_precision: bool = False):
     format — tools/train_flagship.py). full_precision=True keeps f32
     exactly (mid-train checkpoints must resume bit-identically); the
     default bf16 halves the final artifact."""
-    import jax.numpy as jnp
+    import ml_dtypes
 
+    # ONE bulk fetch + host-side casts: a per-leaf jnp cast would round-
+    # trip every tensor through the accelerator (h2d + d2h each), which
+    # queues 3x545 dispatches and has wedged the axon tunnel outright
+    params = jax.device_get(params)
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays = {}
     for kp, v in flat:
@@ -84,7 +88,7 @@ def save_params_npz(params, path: str, full_precision: bool = False):
         if a.dtype == np.float32 and not full_precision:
             # stored as a u16 view because np.savez cannot round-trip
             # the ml_dtypes bfloat16 dtype
-            bf = np.asarray(jnp.asarray(a).astype(jnp.bfloat16))
+            bf = a.astype(ml_dtypes.bfloat16)
             arrays[key + "::bf16"] = bf.view(np.uint16)
         else:
             arrays[key] = a
