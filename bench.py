@@ -151,7 +151,12 @@ def bench_secondary(model_name: str):
     if model_name == "ind":
         batch = 32  # two coded layers ~ 2x WACNN activations; fits v5e HBM
         baseline, base_label = 0.24, "WACNN 0.24s (no published scalable timing)"
-        model = ResWACNNIndependentEntropy(dtype=jnp.bfloat16)
+        # two-levels = the reference parser default (ref parser.py:37) and
+        # the trained recipe's policy; the class default (learnable-mask)
+        # would add a gamma param the artifact doesn't carry
+        model = ResWACNNIndependentEntropy(
+            mask_policy="two-levels", dtype=jnp.bfloat16
+        )
         quality = len(model.lmbda_list) - 1  # top level: base + prog coded
     else:
         batch = 16  # Swin window attention is activation-heavy at 768x512
