@@ -34,9 +34,17 @@ Bitstream container formats:
           order][if bit2: B x u32 sidecar entry counts + concatenated
           escape-coded sidecars]. Amortizes the header + caps block and
           the per-image parse across the batch for serving.
-    The encoder writes v4 when the caps are per-plane, else v3 (v2 when
-    coded_interleave=False), or one v5 blob in batch-container mode; the
-    parser reads all five.
+      v6  rate-packed per-image container (default writer): v5-style
+          flag bits on a per-image blob — bit3 = per-plane caps block,
+          bit4 = contiguous layout, bit5 = width-packed lane counts
+          ([u16 base][u8 width][L x width bits] — counts concentrate
+          under the interleaved layout), bit6 = Golomb-Rice sidecar
+          ([u8 kp][u8 kv][Rice bits]: position first-differences +
+          zigzag value deltas, ~10 bits/entry vs v3's ~24.6). v5 batch
+          containers carry the same two flag bits.
+    The encoder writes v6 by default (container_packed_counts /
+    container_rice_sidecar both off falls back to v4/v3/v2 as before),
+    or one v5 blob in batch-container mode; the parser reads all six.
     decompress_coded validates the header and decodes
     with the header's own version/lanes/split/quality, so a mismatched
     decoder config raises instead of desyncing (ref analogue: the 2-/
@@ -81,6 +89,175 @@ _BLOB_HEADER = struct.Struct("<BBBBHHf")  # magic, ver, flags, 0, lanes, capv, q
 # Shared pool for per-image rANS calls: the ctypes calls release the GIL, so
 # the 16-ish independent streams of a batch encode/decode in parallel.
 _HOST_POOL = ThreadPoolExecutor(max_workers=8, thread_name_prefix="rans")
+
+
+# -- container v6 bit-level codecs (host, numpy) -----------------------------
+#
+# Rate budget (tools/rate_budget.py, VERDICT r4 weak #2): at the trained
+# operating point the v3 escape-coded sidecar spends ~24.6 bits/entry while
+# the entry entropy is ~8.1 (gaps cluster: median 18; deltas are +/-1-2),
+# and the u16 lane-count block spends 16 bits/lane on counts whose per-blob
+# range fits in ~6. v6 closes both with plain bit-packing: Golomb-Rice
+# coded (gap, zigzag-delta) sidecar pairs and width-packed counts.
+
+_RICE_ESC_Q = 24  # unary quotients cap here; then 32 raw bits of the value
+
+
+def _rice_cost(vals: np.ndarray, k: int) -> int:
+    q = vals >> k
+    esc = q >= _RICE_ESC_Q
+    return int(np.sum(np.where(esc, _RICE_ESC_Q + 32, q + 1 + k)))
+
+
+def _rice_pick_k(vals: np.ndarray) -> int:
+    if not len(vals):
+        return 0
+    mean = float(vals.mean())
+    k0 = min(15, max(0, int(mean).bit_length() - 1))
+    ks = range(max(0, k0 - 2), min(15, k0 + 2) + 1)
+    return min(ks, key=lambda k: _rice_cost(vals, k))
+
+
+def _rice_bits(vals: np.ndarray, k: int) -> np.ndarray:
+    """Rice(k) bit array (MSB-first per code) for non-negative int64 vals.
+
+    Vectorized: per-entry code lengths -> flat offsets -> one pass per
+    bit column (k <= 15 remainder columns, 32 escape columns)."""
+    q = vals >> k
+    esc = q >= _RICE_ESC_Q
+    ones = np.where(esc, _RICE_ESC_Q, q)
+    lens = np.where(esc, _RICE_ESC_Q + 32, q + 1 + k)
+    offs = np.cumsum(lens) - lens
+    arr = np.zeros(int(lens.sum()), np.uint8)
+    # unary prefix: `ones[i]` 1-bits at offs[i]
+    tot1 = int(ones.sum())
+    if tot1:
+        co = np.cumsum(ones) - ones
+        idx = np.repeat(offs, ones) + (
+            np.arange(tot1, dtype=np.int64) - np.repeat(co, ones)
+        )
+        arr[idx] = 1
+    ne = ~esc
+    if k:
+        base = offs[ne] + q[ne] + 1
+        v = vals[ne]
+        for j in range(k):
+            arr[base + j] = (v >> (k - 1 - j)) & 1
+    if esc.any():
+        base = offs[esc] + _RICE_ESC_Q
+        v = vals[esc]
+        for j in range(32):
+            arr[base + j] = (v >> (31 - j)) & 1
+    return arr
+
+
+def _rice_encode_sidecar(pos: np.ndarray, dval: np.ndarray) -> bytes:
+    """v6 sidecar: [u8 kp][u8 kv][Rice bitstream], byte-aligned.
+
+    Positions are strictly increasing: code first-differences (first
+    entry absolute). Value deltas are zigzag-mapped then Rice-coded."""
+    pos = np.asarray(pos, np.int64)
+    dval = np.asarray(dval, np.int64)
+    if not len(pos):
+        return b""
+    dp = np.diff(pos, prepend=np.int64(0))
+    zz = np.where(dval >= 0, dval << 1, (-dval << 1) - 1)
+    kp = _rice_pick_k(dp)
+    kv = _rice_pick_k(zz)
+    bits = np.concatenate([_rice_bits(dp, kp), _rice_bits(zz, kv)])
+    return struct.pack("<BB", kp, kv) + np.packbits(bits).tobytes()
+
+
+def _rice_decode_sidecar(blob: bytes, off: int, n: int):
+    """Inverse of _rice_encode_sidecar; returns ((pos, dval), bytes_read)."""
+    if n == 0:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32)), 0
+    if len(blob) < off + 2:
+        raise CodedStreamError("blob truncated before the rice sidecar")
+    kp, kv = struct.unpack_from("<BB", blob, off)
+    # bound the unpacked window by the worst-case code length (escape
+    # codes), so batch containers don't unpack the whole remaining blob
+    max_bytes = min(
+        len(blob) - off - 2, (2 * n * (_RICE_ESC_Q + 32) + 7) // 8
+    )
+    bits = np.unpackbits(
+        np.frombuffer(blob, np.uint8, max_bytes, offset=off + 2)
+    )
+    cursor = 0
+    nbits = len(bits)
+
+    def read_rice(k: int, count: int) -> np.ndarray:
+        nonlocal cursor
+        out = np.empty(count, np.int64)
+        for i in range(count):
+            q = 0
+            while q < _RICE_ESC_Q:
+                if cursor >= nbits:
+                    raise CodedStreamError("rice sidecar ran out of bits")
+                b = bits[cursor]
+                cursor += 1
+                if not b:
+                    break
+                q += 1
+            if q >= _RICE_ESC_Q:
+                if cursor + 32 > nbits:
+                    raise CodedStreamError("rice sidecar ran out of bits")
+                v = 0
+                for _ in range(32):
+                    v = (v << 1) | int(bits[cursor])
+                    cursor += 1
+                out[i] = v
+            else:
+                r = 0
+                for _ in range(k):
+                    if cursor >= nbits:
+                        raise CodedStreamError("rice sidecar ran out of bits")
+                    r = (r << 1) | int(bits[cursor])
+                    cursor += 1
+                out[i] = (q << k) | r
+        return out
+
+    dp = read_rice(kp, n)
+    zz = read_rice(kv, n)
+    pos = np.cumsum(dp)
+    dval = np.where(zz & 1, -((zz + 1) >> 1), zz >> 1)
+    nread = 2 + (cursor + 7) // 8
+    return (pos.astype(np.int32), dval.astype(np.int32)), nread
+
+
+def _pack_counts(counts: np.ndarray) -> bytes:
+    """Width-packed lane counts: [u16 base][u8 width][ceil(n*w/8) bytes].
+
+    Interleaved lanes concentrate counts binomially around the mean, so
+    the per-blob (max - min) range typically fits 5-7 bits vs the u16
+    block's 16."""
+    c = np.asarray(counts, np.int64).reshape(-1)
+    base = int(c.min()) if c.size else 0
+    rel = c - base
+    width = int(rel.max()).bit_length() if c.size and rel.max() > 0 else 0
+    head = struct.pack("<HB", base, width)
+    if width == 0:
+        return head
+    bits = (rel[:, None] >> np.arange(width - 1, -1, -1)[None, :]) & 1
+    return head + np.packbits(bits.astype(np.uint8).reshape(-1)).tobytes()
+
+
+def _parse_counts(blob: bytes, off: int, n: int):
+    """Inverse of _pack_counts; returns (counts (n,) int64, bytes_read)."""
+    if len(blob) < off + 3:
+        raise CodedStreamError("blob truncated before the counts block")
+    base, width = struct.unpack_from("<HB", blob, off)
+    if width == 0:
+        return np.full(n, base, np.int64), 3
+    nbytes = (n * width + 7) // 8
+    if len(blob) < off + 3 + nbytes:
+        raise CodedStreamError("blob truncated inside the counts block")
+    bits = np.unpackbits(
+        np.frombuffer(blob, np.uint8, nbytes, offset=off + 3),
+        count=n * width,
+    ).reshape(n, width)
+    weights = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+    return base + bits.astype(np.int64) @ weights, 3 + nbytes
 
 from ..coding import CdfTable, coder_classes
 from ..entropy import build_eb_table, build_gc_table, eb_medians, get_scale_table
@@ -195,6 +372,22 @@ class WACNNCodec:
         # path; per-image blobs remain the default so streams stay
         # individually addressable)
         self.coded_batch_container = False
+        # container v6 rate features (tools/rate_budget.py): width-packed
+        # lane counts (~16 -> ~6 bits/lane) and Golomb-Rice sidecar
+        # (~24.6 -> ~10 bits/entry). Both on by default; turning either
+        # off falls back to the v2-v5 writers (parsers read everything).
+        self.container_packed_counts = True
+        self.container_rice_sidecar = True
+        # autotune cap policy: budget the split value planes at this
+        # quantile of the measured per-lane nonzero counts, capped at
+        # split_cap_max_frac of the lane length. max_frac 0.5 keeps the
+        # legacy scan-length guarantee; rate-sensitive configs raise it
+        # to 1.0 so dense lanes code in-stream instead of overflowing
+        # into the sidecar (~10 bits/entry vs ~the conditional-table
+        # cost — roughly neutral in rate, but in-stream keeps the
+        # sidecar small enough for fast parses).
+        self.split_cap_quantile = 0.999
+        self.split_cap_max_frac = 0.5
         self._encode_coded_fn = jax.jit(
             functools.partial(model.apply, method="encode_coded"),
             static_argnames=(
@@ -340,19 +533,22 @@ class WACNNCodec:
         h, w = int(x.shape[1]), int(x.shape[2])
         n_y = (h // 16) * (w // 16) * self.model.slice_ch
         ts = -(-n_y // self.coded_lanes)
+
+        def _cap(f: float) -> int:
+            # 0.5 keeps the 0 sentinel (in-model T/2 default); fracs above
+            # it (split_cap_max_frac > 0.5 configs) become explicit caps up
+            # to the full lane length
+            if abs(f - 0.5) < 5e-4:
+                return 0
+            return max(8, min(ts, int(ts * f)))
+
         if isinstance(frac, (list, tuple)):
             if not self.coded_interleave:
-                # container v4 implies the interleaved layout (parser
-                # keys layout off version >= 3); legacy contiguous mode
-                # falls back to one uniform budget
-                f = max(frac)
-                return 0 if f >= 0.5 else max(8, int(ts * f))
-            return tuple(
-                0 if f >= 0.5 else max(8, int(ts * f)) for f in frac
-            )
-        if frac >= 0.5:
-            return 0
-        return max(8, int(ts * frac))
+                # container v4/v6 implies the interleaved layout; legacy
+                # contiguous mode falls back to one uniform budget
+                return _cap(max(frac))
+            return tuple(_cap(f) for f in frac)
+        return _cap(frac)
 
     # -- device-coded container framing --
 
@@ -379,7 +575,27 @@ class WACNNCodec:
                 "increase coded_lanes (shorter lanes) for this payload"
             )
         per_plane = isinstance(capv, tuple)
-        if per_plane:  # v4: per-plane value caps follow the base header
+        packed_counts = bool(self.container_packed_counts)
+        rice_sc = bool(self.container_rice_sidecar)
+        if packed_counts or rice_sc:
+            # v6: v5-style flag bits on a per-image blob — bit3 per-plane
+            # caps block, bit4 contiguous layout, bit5 width-packed
+            # counts, bit6 Rice-coded sidecar (rate: tools/rate_budget.py)
+            ver = 6
+            flags |= (
+                (8 if per_plane else 0)
+                | (0 if interleave else 16)
+                | (32 if packed_counts else 0)
+                | (64 if rice_sc else 0)
+            )
+            caps_block = (
+                struct.pack("<H", len(capv))
+                + np.asarray(capv, "<u2").tobytes()
+                if per_plane
+                else b""
+            )
+            hdr_capv = 0 if per_plane else int(capv)
+        elif per_plane:  # v4: per-plane value caps follow the base header
             ver = 4
             caps_block = struct.pack("<H", len(capv)) + np.asarray(
                 capv, "<u2"
@@ -389,6 +605,11 @@ class WACNNCodec:
             ver = _BLOB_VERSION if interleave else 2  # v2 = contiguous
             caps_block = b""
             hdr_capv = int(capv)
+        counts_block = (
+            _pack_counts(counts_row)
+            if ver == 6 and packed_counts
+            else counts_row.astype("<u2").tobytes()
+        )
         blob = (
             _BLOB_HEADER.pack(
                 _BLOB_MAGIC, ver, flags, 0,
@@ -396,12 +617,16 @@ class WACNNCodec:
             )
             + caps_block
             + states_row.astype("<u4").tobytes()
-            + counts_row.astype("<u2").tobytes()
+            + counts_block
             + words.astype("<u2").tobytes()
         )
         if sidecar is not None:
             pos, dval = sidecar
-            if interleave:  # v3: compact escape-coded sidecar (~3 B/entry)
+            if ver == 6 and rice_sc:
+                blob += struct.pack("<I", len(pos)) + _rice_encode_sidecar(
+                    pos, dval
+                )
+            elif interleave:  # v3: compact escape-coded sidecar (~3 B/entry)
                 blob += struct.pack("<I", len(pos)) + self._pack_sidecar(
                     np.asarray(pos, np.int64), np.asarray(dval, np.int64)
                 )
@@ -491,12 +716,16 @@ class WACNNCodec:
             s is not None for s in sidecars
         )
         per_plane = isinstance(capv, tuple)
+        packed_counts = bool(self.container_packed_counts)
+        rice_sc = bool(self.container_rice_sidecar)
         flags = (
             (1 if split else 0)
             | (2 if has_prog else 0)
             | (4 if has_sc else 0)
             | (8 if per_plane else 0)
             | (0 if interleave else 16)
+            | (32 if packed_counts else 0)
+            | (64 if rice_sc else 0)
         )
         if per_plane:
             caps_block = struct.pack("<H", len(capv)) + np.asarray(
@@ -506,22 +735,30 @@ class WACNNCodec:
         else:
             caps_block = b""
             hdr_capv = int(capv)
+        counts_block = (
+            _pack_counts(counts)
+            if packed_counts
+            else counts.astype("<u2").tobytes()
+        )
         parts = [
             _BLOB_HEADER.pack(
                 _BLOB_MAGIC, 5, flags, b, lanes, hdr_capv, float(q)
             ),
             caps_block,
             states.astype("<u4").tobytes(),
-            counts.astype("<u2").tobytes(),
+            counts_block,
         ]
         parts.extend(w.astype("<u2").tobytes() for w in lane_words)
         if has_sc:
-            packed = [
-                self._pack_sidecar(
-                    np.asarray(s[0], np.int64), np.asarray(s[1], np.int64)
+            pack_one = (
+                _rice_encode_sidecar
+                if rice_sc
+                else lambda p, d: self._pack_sidecar(
+                    np.asarray(p, np.int64), np.asarray(d, np.int64)
                 )
-                if s is not None
-                else b""
+            )
+            packed = [
+                pack_one(s[0], s[1]) if s is not None else b""
                 for s in sidecars
             ]
             ns = np.asarray(
@@ -552,19 +789,29 @@ class WACNNCodec:
                 for v in np.frombuffer(blob, "<u2", ncaps, offset=hs + 2)
             )
             hs += 2 + 2 * ncaps
-        if len(blob) < hs + 6 * b * lanes:
+        if len(blob) < hs + 4 * b * lanes:
             raise CodedStreamError("blob truncated before the lane header")
         states = (
             np.frombuffer(blob, "<u4", b * lanes, offset=hs)
             .reshape(b, lanes)
             .astype(np.uint32)
         )
-        counts = (
-            np.frombuffer(blob, "<u2", b * lanes, offset=hs + 4 * b * lanes)
-            .reshape(b, lanes)
-            .astype(np.int32)
-        )
-        woff = hs + 6 * b * lanes
+        coff = hs + 4 * b * lanes
+        if flags & 32:  # width-packed counts block
+            counts64, nread = _parse_counts(blob, coff, b * lanes)
+            counts = counts64.reshape(b, lanes).astype(np.int32)
+            woff = coff + nread
+        else:
+            if len(blob) < coff + 2 * b * lanes:
+                raise CodedStreamError(
+                    "blob truncated before the lane header"
+                )
+            counts = (
+                np.frombuffer(blob, "<u2", b * lanes, offset=coff)
+                .reshape(b, lanes)
+                .astype(np.int32)
+            )
+            woff = coff + 2 * b * lanes
         n_words = int(counts.sum())
         if len(blob) < woff + 2 * n_words:
             raise CodedStreamError("blob truncated inside the word stream")
@@ -580,10 +827,13 @@ class WACNNCodec:
             K = max(16, 1 << max(omax - 1, 0).bit_length())
             pos = np.full((b, K), np.int32(1 << 30), np.int32)
             dval = np.zeros((b, K), np.int32)
+            parse_one = (
+                _rice_decode_sidecar if flags & 64 else cls._parse_sidecar
+            )
             for i in range(b):
                 n_i = int(ns[i])
                 if n_i:
-                    (op, od), nread = cls._parse_sidecar(blob, soff, n_i)
+                    (op, od), nread = parse_one(blob, soff, n_i)
                     pos[i, :n_i] = op
                     dval[i, :n_i] = od
                     soff += nread
@@ -622,13 +872,14 @@ class WACNNCodec:
                 "version-5 batch containers hold the whole batch in one "
                 "blob — pass it as the single element of strings[0]"
             )
-        if ver not in (1, 2, 3, 4):
+        if ver not in (1, 2, 3, 4, 6):
             raise CodedStreamError(
                 f"unsupported device-ans container version {ver} "
-                "(this build reads versions 1-5)"
+                "(this build reads versions 1-6)"
             )
         capv_out = int(capv)
-        if ver >= 4:  # per-plane value caps follow the base header
+        has_caps = ver == 4 or (ver == 6 and flags & 8)
+        if has_caps:  # per-plane value caps follow the base header
             if len(blob) < hs + 2:
                 raise CodedStreamError("blob truncated before the caps block")
             (ncaps,) = struct.unpack_from("<H", blob, hs)
@@ -638,24 +889,34 @@ class WACNNCodec:
                 int(v) for v in np.frombuffer(blob, "<u2", ncaps, offset=hs + 2)
             )
             hs += 2 + 2 * ncaps
-        cw = 4 if ver == 1 else 2  # v1 stored u4 lane counts
-        if len(blob) < hs + (4 + cw) * lanes:
+        if len(blob) < hs + 4 * lanes:
             raise CodedStreamError("blob truncated before the lane header")
-        counts = np.frombuffer(
-            blob, f"<u{cw}", lanes, offset=hs + 4 * lanes
-        ).astype(np.uint32)
+        states = np.frombuffer(blob, "<u4", lanes, offset=hs)
+        coff = hs + 4 * lanes
+        if ver == 6 and flags & 32:  # width-packed counts block
+            counts64, nread = _parse_counts(blob, coff, lanes)
+            counts = counts64.astype(np.uint32)
+            woff = coff + nread
+        else:
+            cw = 4 if ver == 1 else 2  # v1 stored u4 lane counts
+            if len(blob) < coff + cw * lanes:
+                raise CodedStreamError("blob truncated before the lane header")
+            counts = np.frombuffer(blob, f"<u{cw}", lanes, offset=coff).astype(
+                np.uint32
+            )
+            woff = coff + cw * lanes
         n_words = int(counts.sum())
-        woff = hs + (4 + cw) * lanes
         if len(blob) < woff + 2 * n_words:
             raise CodedStreamError("blob truncated inside the word stream")
         out = {
             "split": bool(flags & 1),
             "has_prog": bool(flags & 2),
             "lanes": int(lanes),
-            "capv": capv_out,  # int, or per-plane tuple for v4 blobs
+            "capv": capv_out,  # int, or per-plane tuple for v4/v6 blobs
             "q": float(q),
-            "interleave": ver >= 3,  # v3+ = strided lane layout
-            "states": np.frombuffer(blob, "<u4", lanes, offset=hs),
+            # v3+ = strided lane layout; v6 carries it in flag bit4
+            "interleave": (not (flags & 16)) if ver == 6 else ver >= 3,
+            "states": states,
             "counts": counts,
             "words": np.frombuffer(blob, "<u2", n_words, offset=woff),
             "outliers": None,
@@ -665,7 +926,11 @@ class WACNNCodec:
             if len(blob) < soff + 4:
                 raise CodedStreamError("blob truncated before the sidecar")
             (n_out,) = struct.unpack_from("<I", blob, soff)
-            if ver >= 3:  # compact escape-coded sidecar
+            if ver == 6 and flags & 64:  # Rice-coded sidecar
+                out["outliers"], _ = _rice_decode_sidecar(
+                    blob, soff + 4, n_out
+                )
+            elif ver >= 3:  # compact escape-coded sidecar
                 if len(blob) < soff + 4 + 3 * n_out:
                     raise CodedStreamError(
                         "blob truncated inside the sidecar"
@@ -1026,27 +1291,31 @@ class WACNNCodec:
                     for bi in range(b_)
                 ])  # (B, L) per-(image, lane) nonzero counts
                 plane_cnts[:, i] = cnts
-                # budget at a high quantile, NOT the max: the absolute
-                # worst lane reaches ~T/2 even on sparse slices (one
-                # textured band in one image), but every cap slot costs
-                # scan time on EVERY lane while an overflow entry costs
-                # ~3 sidecar bytes — the tail beyond q99.9 is a few
-                # dozen entries per batch, the max-cap would double the
-                # value-plane scans
-                m[i] = int(np.quantile(cnts, 0.999))
+                # budget at a high quantile (split_cap_quantile), NOT
+                # necessarily the max: the absolute worst lane reaches
+                # ~T/2 even on sparse slices (one textured band in one
+                # image), but every cap slot costs scan time on EVERY
+                # lane while an overflow entry costs ~10 Rice-coded
+                # sidecar bits. Rate-sensitive configs set quantile=1.0
+                # + split_cap_max_frac=1.0 so dense lanes code fully
+                # in-stream.
+                m[i] = int(np.quantile(cnts, self.split_cap_quantile))
             lane_cnts.append(plane_cnts)
             lane_max = m if lane_max is None else np.maximum(lane_max, m)
         s_mean = float(np.mean(per_slice)) if per_slice else 0.0
+
+        max_frac = float(self.split_cap_max_frac)
 
         def _frac(worst: int) -> float:
             # measured worst lane + a small absolute margin; sigmas keeps
             # its legacy meaning as extra slots of headroom
             t = (worst + max(2.0, sigmas)) / ts
-            # a budget within one slot of T/2 snaps to the in-model
-            # default — a 46-of-48 cap saves nothing but pushes every
-            # tail symbol of a dense slice into the sidecar
-            t = 0.5 if t >= 0.45 else t
-            return min(0.5, max(0.05, t))
+            # a budget near T/2 snaps to the in-model default — a
+            # 46-of-48 cap saves nothing but pushes every tail symbol of
+            # a dense slice into the sidecar
+            if max_frac <= 0.5:
+                t = 0.5 if t >= 0.45 else t
+            return min(max_frac, max(0.05, t))
 
         # split pays whenever the MEAN rate is low: even a T/2-length
         # value plane halves the decode-side table scan, which runs at
@@ -1081,9 +1350,11 @@ class WACNNCodec:
                     ns_ = plane_cnts.shape[1]
                     for i in range(ns_):
                         f = fr[i] if isinstance(fr, tuple) else fr
+                        # mirror _split_capv's mapping exactly
                         slots = (
-                            max(8, ts // 2) if f is None or f >= 0.5
-                            else max(8, int(ts * f))
+                            max(8, ts // 2)
+                            if f is None or abs(f - 0.5) < 5e-4
+                            else max(8, min(ts, int(ts * f)))
                         )
                         over = plane_cnts[:, i] - slots
                         coerce += np.maximum(over, 0).sum(axis=1)

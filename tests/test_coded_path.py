@@ -541,22 +541,44 @@ def test_sidecar_pack_roundtrip_with_escapes():
 
 
 def test_blob_v2_contiguous_layout_roundtrip(codec, x):
-    """coded_interleave=False emits v2 (contiguous-layout) containers;
-    decode must pick the layout from the version byte, not the codec's
-    current config."""
+    """coded_interleave=False (with the v6 rate features off) emits v2
+    (contiguous-layout) containers; decode must pick the layout from the
+    version byte, not the codec's current config."""
     codec.coded_interleave = False
+    codec.container_packed_counts = False
+    codec.container_rice_sidecar = False
     try:
         out = codec.compress_coded(x, return_debug=True)
         assert out["strings"][0][0][1] == 2  # container version byte
     finally:
         codec.coded_interleave = True  # decode under the WRONG config
-    rec = codec.decompress_coded(out["strings"], out["shape"])
+    try:
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+        # with the rate features off the interleaved path emits v3
+        out3 = codec.compress_coded(x)
+        assert out3["strings"][0][0][1] == 3
+    finally:
+        codec.container_packed_counts = True
+        codec.container_rice_sidecar = True
+    # the default writer emits v6 (packed counts + Rice sidecar) and the
+    # contiguous layout rides flag bit4 instead of the version byte
+    out6 = codec.compress_coded(x, return_debug=True)
+    blob6 = out6["strings"][0][0]
+    assert blob6[1] == 6 and not (blob6[2] & 16)
+    codec.coded_interleave = False
+    try:
+        out6c = codec.compress_coded(x, return_debug=True)
+        blob6c = out6c["strings"][0][0]
+        assert blob6c[1] == 6 and (blob6c[2] & 16)
+    finally:
+        codec.coded_interleave = True
+    rec6 = codec.decompress_coded(out6c["strings"], out6c["shape"])
     np.testing.assert_array_equal(
-        np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        np.asarray(rec6["y_hat"]), np.asarray(out6c["y_hat"])
     )
-    # and the default path emits v3
-    out3 = codec.compress_coded(x)
-    assert out3["strings"][0][0][1] == 3
 
 
 def test_autotune_coded_from_measured_stats(codec, x):
@@ -660,6 +682,8 @@ def test_per_plane_caps_v4_roundtrip(codec, x):
     fracs change), and the reconstruction is bit-exact vs the encoder."""
     codec.coded_split = True
     codec.split_cap_frac = (0.45, 0.20)  # one budget per slice (ns=2)
+    codec.container_packed_counts = False
+    codec.container_rice_sidecar = False
     try:
         out = codec.compress_coded(x, return_debug=True)
         assert out["format"] == "device-ans"
@@ -676,6 +700,8 @@ def test_per_plane_caps_v4_roundtrip(codec, x):
     finally:
         codec.coded_split = False
         codec.split_cap_frac = 0.5
+        codec.container_packed_counts = True
+        codec.container_rice_sidecar = True
 
 
 def test_per_plane_caps_v4_scalable(scal_codec, x):
@@ -880,3 +906,132 @@ def test_coded_serving_on_mesh_scalable(scal_codec):
             )
     finally:
         scal_codec.serve_mesh = None
+
+
+# ---------------------------------------------------------------------------
+# container v6: width-packed counts + Golomb-Rice sidecar (rate features)
+# ---------------------------------------------------------------------------
+
+
+def test_rice_sidecar_codec_roundtrip():
+    """The Rice sidecar codec is exact for clustered, uniform, escaped
+    (huge-gap / huge-delta) and empty inputs."""
+    from resdsic_tpu.models.codec import (
+        _rice_decode_sidecar,
+        _rice_encode_sidecar,
+    )
+
+    rng = np.random.default_rng(0)
+    cases = []
+    # clustered gaps, small deltas (the measured trained-model shape)
+    pos = np.cumsum(rng.geometric(1 / 18, 500)).astype(np.int64)
+    dv = rng.choice([-2, -1, 1, 2], 500).astype(np.int64)
+    cases.append((pos, dv))
+    # sparse huge gaps + large deltas (escape paths)
+    pos = np.cumsum(rng.integers(1, 3_000_000, 20)).astype(np.int64)
+    dv = rng.integers(-50_000, 50_000, 20).astype(np.int64)
+    cases.append((pos, dv))
+    # single entry at zero
+    cases.append((np.array([0], np.int64), np.array([7], np.int64)))
+    # empty
+    cases.append((np.zeros(0, np.int64), np.zeros(0, np.int64)))
+    for pos, dv in cases:
+        blob = b"\xaa" + _rice_encode_sidecar(pos, dv) + b"\xbb" * 3
+        (p2, d2), nread = _rice_decode_sidecar(blob, 1, len(pos))
+        assert nread <= len(blob) - 1
+        np.testing.assert_array_equal(p2, pos.astype(np.int32))
+        np.testing.assert_array_equal(d2, dv.astype(np.int32))
+
+
+def test_rice_sidecar_smaller_than_v3():
+    """At the measured trained-model statistics (clustered gaps, +/-1-2
+    deltas) the Rice sidecar beats the v3 escape-coded one by >2x."""
+    from resdsic_tpu.models.codec import WACNNCodec, _rice_encode_sidecar
+
+    rng = np.random.default_rng(1)
+    pos = np.cumsum(rng.geometric(1 / 18, 1000)).astype(np.int64)
+    dv = rng.choice([-2, -1, 1, 2], 1000, p=[0.15, 0.4, 0.33, 0.12]).astype(
+        np.int64
+    )
+    v6 = _rice_encode_sidecar(pos, dv)
+    v3 = WACNNCodec._pack_sidecar(pos, dv)
+    assert len(v6) * 2 < len(v3)
+
+
+def test_packed_counts_roundtrip():
+    from resdsic_tpu.models.codec import _pack_counts, _parse_counts
+
+    rng = np.random.default_rng(2)
+    for counts in (
+        rng.integers(25, 45, 512),
+        np.full(64, 31),
+        np.zeros(16, np.int64),
+        rng.integers(0, 60000, 128),
+        np.array([7], np.int64),
+    ):
+        blob = b"Z" + _pack_counts(counts) + b"tail"
+        dec, nread = _parse_counts(blob, 1, len(counts))
+        assert nread <= len(blob) - 5
+        np.testing.assert_array_equal(dec, np.asarray(counts, np.int64))
+
+
+def test_blob_v6_roundtrip_and_smaller(codec, x):
+    """The default v6 writer roundtrips bit-exactly and its container is
+    strictly smaller than the v3 form of the same payload."""
+    out6 = codec.compress_coded(x, return_debug=True)
+    blob6 = out6["strings"][0][0]
+    assert blob6[1] == 6 and (blob6[2] & 32)
+    codec.container_packed_counts = False
+    codec.container_rice_sidecar = False
+    try:
+        out3 = codec.compress_coded(x, return_debug=True)
+    finally:
+        codec.container_packed_counts = True
+        codec.container_rice_sidecar = True
+    assert sum(len(s) for s in out6["strings"][0]) < sum(
+        len(s) for s in out3["strings"][0]
+    )
+    rec = codec.decompress_coded(out6["strings"], out6["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(out6["y_hat"])
+    )
+
+
+def test_split_cap_frac_above_half(codec, x):
+    """split_cap_max_frac > 0.5 budgets value planes beyond T/2 — dense
+    lanes code fully in-stream (v6 caps block carries the explicit caps)
+    and the roundtrip stays bit-exact."""
+    codec.coded_split = True
+    codec.split_cap_frac = (0.85, 0.7)
+    try:
+        out = codec.compress_coded(x, return_debug=True)
+        blob = out["strings"][0][0]
+        assert blob[1] == 6 and (blob[2] & 8)
+        hdr = codec._parse_blob(blob)
+        assert isinstance(hdr["capv"], tuple)
+        n_y = (x.shape[1] // 16) * (x.shape[2] // 16) * codec.model.slice_ch
+        ts = -(-n_y // codec.coded_lanes)
+        assert hdr["capv"][0] > ts // 2  # genuinely above the old limit
+        rec = codec.decompress_coded(out["strings"], out["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+        )
+    finally:
+        codec.coded_split = False
+        codec.split_cap_frac = 0.5
+
+
+def test_batch_container_v6_flags(codec, x):
+    """v5 batch containers carry the packed-counts / Rice-sidecar flag
+    bits and decode bit-exactly."""
+    codec.coded_batch_container = True
+    try:
+        out = codec.compress_coded(x, return_debug=True)
+    finally:
+        codec.coded_batch_container = False
+    blob = out["strings"][0][0]
+    assert blob[1] == 5 and (blob[2] & 32)
+    rec = codec.decompress_coded(out["strings"], out["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+    )
