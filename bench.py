@@ -113,6 +113,12 @@ def _last_ga_name(params) -> str:
         int(k[len("g_a_"):]) for k in params["params"]
         if k.startswith("g_a_") and k[len("g_a_"):].isdigit()
     ]
+    if not idxs:  # ADVICE r4 #4: name the convention instead of max([])
+        raise ValueError(
+            "no g_a_<i> analysis submodules in params['params'] — the "
+            "random-init latent scaling expects the WACNN/TCM naming "
+            f"convention (got {sorted(params['params'])[:8]}...)"
+        )
     return f"g_a_{max(idxs)}"
 
 
@@ -167,11 +173,22 @@ def bench_secondary(model_name: str):
         {"params": jax.random.key(0), "noise": jax.random.key(1)},
         jnp.zeros((1, 64, 64, 3), jnp.float32),
     )
-    npz = os.environ.get(
-        "RESDSIC_BENCH_NPZ",
-        os.path.join(repo, "artifacts_ind", f"{model_name}_trained_bf16.npz"),
+    # candidate list mirrors main(): local training output beats the
+    # committed artifact on mtime; a fresh clone still benches trained
+    # weights via artifacts_committed (ADVICE r4 #1)
+    candidates = [
+        os.path.join(repo, f"artifacts_{model_name}",
+                     f"{model_name}_trained_bf16.npz"),
+        os.path.join(repo, "artifacts_committed",
+                     {"ind": "ind_2q_bf16.npz",
+                      "tcm": "tcm_bf16.npz"}.get(model_name, "")),
+    ]
+    env_npz = os.environ.get("RESDSIC_BENCH_NPZ", "")
+    existing = [p for p in candidates if p and os.path.exists(p)]
+    npz = env_npz or (
+        max(existing, key=os.path.getmtime) if existing else ""
     )
-    if os.path.exists(npz):
+    if npz and os.path.exists(npz):
         params = load_params_npz(npz, params)
         weights_kind = f"trained ({os.path.basename(npz)})"
     else:

@@ -98,7 +98,12 @@ def main(argv=None):
 
     # model + mesh
     model = configure_model(args)
-    is_scalable = args.model != "cnn"
+    # "tcm" is single-layer like "cnn" (ref leaves TCM unregistered; our
+    # registry adds it) — only the scalable ctor surface takes the
+    # two-layer loss
+    from ..models import SCALABLE_MODELS
+
+    is_scalable = args.model in SCALABLE_MODELS
     x0 = jnp.zeros((1, args.patch_size, args.patch_size, 3))
     params = jax.jit(model.init)(
         {"params": jax.random.key(args.seed), "noise": jax.random.key(args.seed + 1)},
@@ -209,7 +214,11 @@ def main(argv=None):
 
 
 def _run_codec_eval(args, model, state, test_ds, pr_list, epoch, logger):
-    codec_cls = ScalableCodec if args.model != "cnn" else WACNNCodec
+    from ..models import SCALABLE_MODELS
+
+    codec_cls = (
+        ScalableCodec if args.model in SCALABLE_MODELS else WACNNCodec
+    )
     codec = codec_cls(model, state.params)
     codec.update(force=True)
     files = getattr(test_ds, "image_path", None)

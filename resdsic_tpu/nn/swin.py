@@ -236,7 +236,9 @@ class WMSA(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         ws = self.window_size
-        nh = self.input_dim // self.head_dim
+        # clamp to >= 1 head: test-size configs shrink input_dim below the
+        # reference's hardcoded hyper head_dim=32 (tcm.py:352-374)
+        nh = max(1, self.input_dim // self.head_dim)
         scale = self.head_dim**-0.5
 
         rel_params = self.param(
@@ -248,10 +250,20 @@ class WMSA(nn.Module):
 
         del scale  # derived inside the shared attention paths
 
+        # pad to window multiples (zero pad bottom/right, unpad after):
+        # a no-op at production geometries (pad ×64 guarantees multiples);
+        # only degenerate tiny inputs (hyper latents of test-size images)
+        # take it — the reference crashes there (tcm.py:171 reshape), so
+        # this is robustness, not a parity-visible behavior
+        ph, pw = (-h) % ws, (-w) % ws
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        hp, wp = h + ph, w + pw
+
         if self.type != "W":
             x = jnp.roll(x, shift=(-(ws // 2), -(ws // 2)), axis=(1, 2))
 
-        hw, ww = h // ws, w // ws
+        hw, ww = hp // ws, wp // ws
         n = ws * ws
         xw = x.reshape(b, hw, ws, ww, ws, c).transpose(0, 1, 3, 2, 4, 5)
         xw = xw.reshape(b * hw * ww, n, c)
@@ -297,10 +309,12 @@ class WMSA(nn.Module):
             )
 
         out = out.reshape(b, hw, ww, ws, ws, -1).transpose(0, 1, 3, 2, 4, 5)
-        out = out.reshape(b, h, w, -1)
+        out = out.reshape(b, hp, wp, -1)
 
         if self.type != "W":
             out = jnp.roll(out, shift=(ws // 2, ws // 2), axis=(1, 2))
+        if ph or pw:
+            out = out[:, :h, :w]
         return out
 
 
@@ -391,9 +405,16 @@ class SwinBlock(nn.Module):
         ws = self.window_size
         padded = False
         if h <= ws or w <= ws:
-            pr = (ws - h) // 2
-            pc = (ws - w) // 2
-            x = jnp.pad(x, ((0, 0), (pr, pr + 1), (pc, pc + 1), (0, 0)))
+            # per-dim non-negative pads: the reference pads both dims
+            # whenever either is small (tcm.py:296-300), which goes
+            # negative on mixed tall/narrow inputs — clamp each dim
+            # independently (WMSA additionally self-pads to window
+            # multiples, so this only needs to give the SW shift room)
+            pr = max(0, (ws - h) // 2)
+            pc = max(0, (ws - w) // 2)
+            pr2 = pr + 1 if h <= ws else 0
+            pc2 = pc + 1 if w <= ws else 0
+            x = jnp.pad(x, ((0, 0), (pr, pr2), (pc, pc2), (0, 0)))
             padded = True
         out = SwinTransformerBlock(
             self.input_dim, self.output_dim, self.head_dim, ws,
