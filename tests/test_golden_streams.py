@@ -1,0 +1,118 @@
+"""Byte-parity against frozen reference-pipeline streams (VERDICT r4 #3).
+
+tests/golden/ref_streams.npz was generated ONCE by
+tools/make_golden_streams.py: the reference's torch WACNN
+(/root/reference/src, compressai call-site semantics of
+entropy_models.py:229-285) ran compress() on our committed trained
+weights, and every coder call (symbols, indexes, integer tables) plus the
+produced stream bytes was recorded. These tests replay the vectors with
+OUR native coder WITHOUT torch: the encoder must reproduce the stream
+byte-for-byte and the decoder must recover the symbols exactly — so
+byte-level interop with the reference pipeline survives in CI even where
+torch/compressai are not installed.
+
+The slow test additionally rebuilds our integer CDF tables from the same
+committed checkpoint through entropy/tables.py and asserts they equal the
+torch-derived tables bit-for-bit (same pmf_to_quantized_cdf integer
+arithmetic end to end).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from resdsic_tpu import coding
+
+GOLDEN = Path(__file__).parent / "golden" / "ref_streams.npz"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    assert GOLDEN.exists(), "committed fixture missing — run tools/make_golden_streams.py"
+    return np.load(GOLDEN)
+
+
+def _table(g, tag):
+    return coding.CdfTable(
+        cdf=g[f"{tag}/cdf"],
+        cdf_length=g[f"{tag}/cdf_length"],
+        offset=g[f"{tag}/offset"],
+    )
+
+
+def _tags(g):
+    return sorted(
+        {k.rsplit("/", 1)[0] for k in g.files if "single_z" in k or "buffered_y" in k}
+    )
+
+
+def test_encode_matches_reference_bytes(golden):
+    """Our rANS encoder reproduces the reference-pipeline streams exactly."""
+    for tag in _tags(golden):
+        table = _table(golden, tag)
+        sym = golden[f"{tag}/symbols"].tolist()
+        idx = golden[f"{tag}/indexes"].tolist()
+        want = golden[f"{tag}/stream"].tobytes()
+        if "buffered" in tag:
+            enc = coding.BufferedRansEncoder()
+            enc.encode_with_indexes(sym, idx, table)
+            got = enc.flush()
+        else:
+            got = coding.RansEncoder().encode_with_indexes(sym, idx, table)
+        assert bytes(got) == want, f"{tag}: stream bytes differ"
+
+
+def test_decode_recovers_reference_symbols(golden):
+    for tag in _tags(golden):
+        table = _table(golden, tag)
+        idx = golden[f"{tag}/indexes"].tolist()
+        data = golden[f"{tag}/stream"].tobytes()
+        out = coding.RansDecoder().decode_with_indexes(data, idx, table)
+        np.testing.assert_array_equal(
+            np.asarray(out, np.int32), golden[f"{tag}/symbols"]
+        )
+
+
+def test_stream_is_nontrivial(golden):
+    """Guard against a degenerate fixture: real symbol spread, real rate."""
+    for tag in _tags(golden):
+        sym = golden[f"{tag}/symbols"]
+        assert sym.size > 1000 and len(np.unique(sym)) > 8
+        assert golden[f"{tag}/stream"].size > 200
+
+
+@pytest.mark.slow
+def test_our_tables_equal_reference_tables(golden):
+    """entropy/tables.py rebuilds the SAME integer CDFs the torch pipeline
+    derived from the committed checkpoint — table-level cross-framework
+    parity, not just stream-level."""
+    import jax
+    import jax.numpy as jnp
+
+    from resdsic_tpu.entropy import build_eb_table, build_gc_table
+    from resdsic_tpu.models import WACNN
+    from resdsic_tpu.utils.checkpoint import load_params_npz
+
+    npz = Path(__file__).parent.parent / "artifacts_committed" / "cnn_q65_bf16.npz"
+    if not npz.exists():
+        pytest.skip("committed checkpoint not present")
+    model = WACNN()
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+    )
+    params = load_params_npz(str(npz), params)
+
+    gc = build_gc_table(golden["tables/gc_scale_table"])
+    np.testing.assert_array_equal(gc.cdf_length, golden["tables/gc_cdf_length"])
+    np.testing.assert_array_equal(gc.offset, golden["tables/gc_offset"])
+    want = golden["tables/gc_cdf"]
+    np.testing.assert_array_equal(gc.cdf[:, : want.shape[1]], want)
+
+    eb_params = params["params"]["entropy_bottleneck"]
+    eb = build_eb_table(eb_params)
+    np.testing.assert_array_equal(eb.cdf_length, golden["tables/eb_cdf_length"])
+    np.testing.assert_array_equal(eb.offset, golden["tables/eb_offset"])
+    want = golden["tables/eb_cdf"]
+    np.testing.assert_array_equal(eb.cdf[:, : want.shape[1]], want)
