@@ -92,6 +92,10 @@ def main():
 
     ref_em.BufferedRansEncoder = RecBuffered
     ref_em.RansEncoder = RecEncoder
+    # cnn.py constructs BufferedRansEncoder directly (cnn.py:237) and bound
+    # the name at ITS import time — patch that module binding too
+    ref_cnn = sys.modules[RefWACNN.__module__]
+    ref_cnn.BufferedRansEncoder = RecBuffered
 
     # our committed weights -> reference torch model
     model = WACNN()
@@ -103,7 +107,7 @@ def main():
         str(REPO / "artifacts_committed" / "cnn_q65_bf16.npz"), params
     )
     tm = RefWACNN(N=192, M=320)
-    sd, _ = build_inverse_state_dict(tm, params)
+    sd, _ = build_inverse_state_dict(tm, params["params"])
     tm.load_state_dict(sd, strict=False)
     tm.update(force=True)
     tm.eval()
