@@ -205,7 +205,9 @@ def bench_secondary(model_name: str):
     imgs = make_images(batch, trained=weights_kind.startswith("trained"))
     x = jnp.asarray(imgs)
     qkw = {} if quality is None else {"quality": quality}
-    codec.coded_lanes = 512
+    codec.coded_lanes = 256  # round-5 sweep config (see main())
+    codec.split_cap_max_frac = 1.0
+    codec.split_cap_quantile = 1.0
     codec.autotune_coded(x, **qkw)
     t = time.perf_counter()
     out_c = codec.compress_coded(x, **qkw)
@@ -418,14 +420,20 @@ def main():
 
     # --- on-device-coded path: entropy coding inside the XLA program, so
     # only real bitstream bytes cross the link and decode is ONE dispatch.
-    # lanes=512 per the on-chip sweep: 4x fewer scan steps than 128 for
-    # +0.06 bpp of per-lane header (reported below as coded bpp).
+    # lanes=256 + uncapped split budgets per the round-5 joint sweep
+    # (tools/sweep_coded_config.py): the v6 tight-header container makes
+    # fewer lanes cheaper on BOTH axes than round 4's 512 — sequential
+    # 0.0289 vs 0.0327 s/img AND inflation 3.8% vs 6.8% vs the host coder
+    # (uncapped budgets code dense lanes in-stream; the sidecar shrinks
+    # from ~990 to ~45 entries/image).
     # Split mode + budgets are sized from MEASURED symbol statistics
     # (autotune_coded) so the same bench is correctly tuned at both the
     # trained operating point (~1 bpp, dense residuals) and the random-init
     # fallback (~0.33 bpp, sparse); caps persist after the first adaptive
     # re-dispatch, so the timed loop below is one dispatch per direction ---
-    codec.coded_lanes = 512
+    codec.coded_lanes = 256
+    codec.split_cap_max_frac = 1.0
+    codec.split_cap_quantile = 1.0
     tune = codec.autotune_coded(x)
     cf = tune["split_cap_frac"]
     cf_str = (

@@ -225,6 +225,187 @@ def _rice_decode_sidecar(blob: bytes, off: int, n: int):
     return (pos.astype(np.int32), dval.astype(np.int32)), nread
 
 
+def _state_hi_tables():
+    """Static integer CDFs for the rANS-coded state high bytes.
+
+    The final encoder state is ~log-uniform over [2^16, 2^32): byte3
+    (x >> 24) is 0 with probability ~1/2 (x < 2^24) and otherwise
+    ~log-uniform over [1, 255]; byte2 is log-uniform when byte3 is 0 and
+    ~uniform otherwise. Coding the two bytes against these smooth priors
+    recovers ~4-5 of the 16 stored bits per lane. The tables are built
+    deterministically from closed-form pmfs via the SAME integer
+    quantizer the codec uses everywhere (pmf_to_quantized_cdf), so both
+    sides always agree."""
+    from ..coding import CdfTable, pmf_to_quantized_cdf
+
+    k = np.arange(1, 256, dtype=np.float64)
+    logu = np.log1p(1.0 / k)
+    logu /= logu.sum()
+    # row 0: byte2 = (x >> 16) & 0xFF — mixture of log-uniform (b3 == 0)
+    # and uniform (b3 > 0)
+    p2 = np.empty(256)
+    p2[0] = 0.5 / 256
+    p2[1:] = 0.5 * logu + 0.5 / 256
+    # row 1: byte3 = x >> 24 — point mass at 0 + log-uniform tail
+    p3 = np.empty(256)
+    p3[0] = 0.5
+    p3[1:] = 0.5 * logu
+    rows = []
+    for p in (p2, p3):
+        cdf = np.asarray(
+            pmf_to_quantized_cdf(np.asarray(p / p.sum(), np.float32), 16),
+            np.int32,
+        )
+        rows.append(cdf)
+    lmax = max(len(r) for r in rows)
+    cdf = np.zeros((2, lmax), np.int32)
+    for i, r in enumerate(rows):
+        cdf[i, : len(r)] = r
+    return CdfTable(
+        cdf=cdf,
+        cdf_length=np.asarray([len(rows[0]), len(rows[1])], np.int32),
+        offset=np.zeros(2, np.int32),
+    )
+
+
+_STATE_HI_TABLES = None
+
+
+def _get_state_hi_tables():
+    global _STATE_HI_TABLES
+    if _STATE_HI_TABLES is None:
+        _STATE_HI_TABLES = _state_hi_tables()
+    return _STATE_HI_TABLES
+
+
+def _pack_lane_header(states: np.ndarray, counts: np.ndarray) -> bytes:
+    """Tight lane header (v6 flag bit7): the per-lane fixed cost is the
+    floor of the container overhead (tools/rate_budget.py), so both
+    arrays get entropy treatment:
+
+      states: low 16 bits raw (uniform, incompressible); high bytes
+        (b2, b3) rANS-coded against static log-uniform priors
+        (_state_hi_tables) — ~4-5 bits/lane recovered.
+      counts: u32 total + per-lane Rice-coded zigzag deviations from
+        round(total / n) — deviations concentrate binomially, ~4-6
+        bits/lane vs 16 raw.
+
+    Layout: [u32 total][u8 kc][rice bytes (len implied)][n x u16 lo16]
+            [u16 hi_len][hi rANS bytes]
+    with the rice stream byte-aligned and self-delimiting via n.
+    """
+    from .. import coding as _coding
+
+    states = np.asarray(states, np.uint32).reshape(-1)
+    counts = np.asarray(counts, np.int64).reshape(-1)
+    n = len(counts)
+    total = int(counts.sum())
+    mean = int(round(total / max(n, 1)))
+    dev = counts - mean
+    zz = np.where(dev >= 0, dev << 1, (-dev << 1) - 1)
+    kc = _rice_pick_k(zz)
+    rice = np.packbits(_rice_bits(zz, kc)).tobytes()
+    lo16 = (states & 0xFFFF).astype("<u2").tobytes()
+    hi = np.empty(2 * n, np.int32)
+    hi[0::2] = (states >> 16) & 0xFF
+    hi[1::2] = states >> 24
+    idx = np.empty(2 * n, np.int32)
+    idx[0::2] = 0
+    idx[1::2] = 1
+    hi_bytes = bytes(
+        _coding.RansEncoder().encode_with_indexes(
+            hi.tolist(), idx.tolist(), _get_state_hi_tables()
+        )
+    )
+    return (
+        struct.pack("<IB", total, kc)
+        + struct.pack("<I", len(rice))
+        + rice
+        + lo16
+        + struct.pack("<I", len(hi_bytes))
+        + hi_bytes
+    )
+
+
+def _parse_lane_header(blob: bytes, off: int, n: int):
+    """Inverse of _pack_lane_header; returns ((states u32, counts i64),
+    bytes_read)."""
+    from .. import coding as _coding
+
+    if len(blob) < off + 9:
+        raise CodedStreamError("blob truncated before the lane header")
+    total, kc, rice_len = struct.unpack_from("<IBI", blob, off)
+    p = off + 9
+    if len(blob) < p + rice_len + 2 * n + 4:
+        raise CodedStreamError("blob truncated inside the lane header")
+    zz = _rice_read(blob, p, rice_len, kc, n)
+    p += rice_len
+    dev = np.where(zz & 1, -((zz + 1) >> 1), zz >> 1)
+    mean = int(round(total / max(n, 1)))
+    counts = dev + mean
+    if counts.min() < 0 or int(counts.sum()) != total:
+        raise CodedStreamError(
+            "lane-header counts do not reconcile with the stored total"
+        )
+    lo16 = np.frombuffer(blob, "<u2", n, offset=p).astype(np.uint32)
+    p += 2 * n
+    (hi_len,) = struct.unpack_from("<I", blob, p)
+    p += 4
+    if len(blob) < p + hi_len:
+        raise CodedStreamError("blob truncated inside the state stream")
+    idx = np.empty(2 * n, np.int32)
+    idx[0::2] = 0
+    idx[1::2] = 1
+    hi = np.asarray(
+        _coding.RansDecoder().decode_with_indexes(
+            blob[p : p + hi_len], idx.tolist(), _get_state_hi_tables()
+        ),
+        np.int64,
+    )
+    p += hi_len
+    states = (
+        lo16
+        | (hi[0::2].astype(np.uint32) << 16)
+        | (hi[1::2].astype(np.uint32) << 24)
+    )
+    return (states, counts.astype(np.int64)), p - off
+
+
+def _rice_read(blob: bytes, off: int, nbytes: int, k: int, n: int):
+    """Decode n Rice(k) values from a byte-aligned bit region."""
+    bits = np.unpackbits(np.frombuffer(blob, np.uint8, nbytes, offset=off))
+    out = np.empty(n, np.int64)
+    cursor = 0
+    nbits = len(bits)
+    for i in range(n):
+        q = 0
+        while q < _RICE_ESC_Q:
+            if cursor >= nbits:
+                raise CodedStreamError("rice region ran out of bits")
+            b = bits[cursor]
+            cursor += 1
+            if not b:
+                break
+            q += 1
+        if q >= _RICE_ESC_Q:
+            if cursor + 32 > nbits:
+                raise CodedStreamError("rice region ran out of bits")
+            v = 0
+            for _ in range(32):
+                v = (v << 1) | int(bits[cursor])
+                cursor += 1
+            out[i] = v
+        else:
+            if cursor + k > nbits:
+                raise CodedStreamError("rice region ran out of bits")
+            r = 0
+            for _ in range(k):
+                r = (r << 1) | int(bits[cursor])
+                cursor += 1
+            out[i] = (q << k) | r
+    return out
+
+
 def _pack_counts(counts: np.ndarray) -> bytes:
     """Width-packed lane counts: [u16 base][u8 width][ceil(n*w/8) bytes].
 
@@ -378,6 +559,10 @@ class WACNNCodec:
         # off falls back to the v2-v5 writers (parsers read everything).
         self.container_packed_counts = True
         self.container_rice_sidecar = True
+        # tight lane header (v6 flag bit7): entropy-coded state high
+        # bytes + Rice count deviations — the per-lane fixed cost is the
+        # binding term of the <=3% inflation budget (VERDICT r5 #1)
+        self.container_tight_header = True
         # autotune cap policy: budget the split value planes at this
         # quantile of the measured per-lane nonzero counts, capped at
         # split_cap_max_frac of the lane length. max_frac 0.5 keeps the
@@ -577,16 +762,19 @@ class WACNNCodec:
         per_plane = isinstance(capv, tuple)
         packed_counts = bool(self.container_packed_counts)
         rice_sc = bool(self.container_rice_sidecar)
-        if packed_counts or rice_sc:
+        tight = bool(self.container_tight_header)
+        if packed_counts or rice_sc or tight:
             # v6: v5-style flag bits on a per-image blob — bit3 per-plane
             # caps block, bit4 contiguous layout, bit5 width-packed
-            # counts, bit6 Rice-coded sidecar (rate: tools/rate_budget.py)
+            # counts, bit6 Rice-coded sidecar, bit7 tight lane header
+            # (rate: tools/rate_budget.py)
             ver = 6
             flags |= (
                 (8 if per_plane else 0)
                 | (0 if interleave else 16)
-                | (32 if packed_counts else 0)
+                | (32 if packed_counts and not tight else 0)
                 | (64 if rice_sc else 0)
+                | (128 if tight else 0)
             )
             caps_block = (
                 struct.pack("<H", len(capv))
@@ -605,19 +793,22 @@ class WACNNCodec:
             ver = _BLOB_VERSION if interleave else 2  # v2 = contiguous
             caps_block = b""
             hdr_capv = int(capv)
-        counts_block = (
-            _pack_counts(counts_row)
-            if ver == 6 and packed_counts
-            else counts_row.astype("<u2").tobytes()
-        )
+        if ver == 6 and tight:
+            lane_block = _pack_lane_header(states_row, counts_row)
+        else:
+            counts_block = (
+                _pack_counts(counts_row)
+                if ver == 6 and packed_counts
+                else counts_row.astype("<u2").tobytes()
+            )
+            lane_block = states_row.astype("<u4").tobytes() + counts_block
         blob = (
             _BLOB_HEADER.pack(
                 _BLOB_MAGIC, ver, flags, 0,
                 states_row.shape[0], hdr_capv, float(q),
             )
             + caps_block
-            + states_row.astype("<u4").tobytes()
-            + counts_block
+            + lane_block
             + words.astype("<u2").tobytes()
         )
         if sidecar is not None:
@@ -718,14 +909,16 @@ class WACNNCodec:
         per_plane = isinstance(capv, tuple)
         packed_counts = bool(self.container_packed_counts)
         rice_sc = bool(self.container_rice_sidecar)
+        tight = bool(self.container_tight_header)
         flags = (
             (1 if split else 0)
             | (2 if has_prog else 0)
             | (4 if has_sc else 0)
             | (8 if per_plane else 0)
             | (0 if interleave else 16)
-            | (32 if packed_counts else 0)
+            | (32 if packed_counts and not tight else 0)
             | (64 if rice_sc else 0)
+            | (128 if tight else 0)
         )
         if per_plane:
             caps_block = struct.pack("<H", len(capv)) + np.asarray(
@@ -735,18 +928,21 @@ class WACNNCodec:
         else:
             caps_block = b""
             hdr_capv = int(capv)
-        counts_block = (
-            _pack_counts(counts)
-            if packed_counts
-            else counts.astype("<u2").tobytes()
-        )
+        if tight:
+            lane_block = _pack_lane_header(states, counts)
+        else:
+            counts_block = (
+                _pack_counts(counts)
+                if packed_counts
+                else counts.astype("<u2").tobytes()
+            )
+            lane_block = states.astype("<u4").tobytes() + counts_block
         parts = [
             _BLOB_HEADER.pack(
                 _BLOB_MAGIC, 5, flags, b, lanes, hdr_capv, float(q)
             ),
             caps_block,
-            states.astype("<u4").tobytes(),
-            counts_block,
+            lane_block,
         ]
         parts.extend(w.astype("<u2").tobytes() for w in lane_words)
         if has_sc:
@@ -789,29 +985,39 @@ class WACNNCodec:
                 for v in np.frombuffer(blob, "<u2", ncaps, offset=hs + 2)
             )
             hs += 2 + 2 * ncaps
-        if len(blob) < hs + 4 * b * lanes:
-            raise CodedStreamError("blob truncated before the lane header")
-        states = (
-            np.frombuffer(blob, "<u4", b * lanes, offset=hs)
-            .reshape(b, lanes)
-            .astype(np.uint32)
-        )
-        coff = hs + 4 * b * lanes
-        if flags & 32:  # width-packed counts block
-            counts64, nread = _parse_counts(blob, coff, b * lanes)
+        if flags & 128:  # tight lane header
+            (states_f, counts64), nread = _parse_lane_header(
+                blob, hs, b * lanes
+            )
+            states = states_f.reshape(b, lanes).astype(np.uint32)
             counts = counts64.reshape(b, lanes).astype(np.int32)
-            woff = coff + nread
+            woff = hs + nread
         else:
-            if len(blob) < coff + 2 * b * lanes:
+            if len(blob) < hs + 4 * b * lanes:
                 raise CodedStreamError(
                     "blob truncated before the lane header"
                 )
-            counts = (
-                np.frombuffer(blob, "<u2", b * lanes, offset=coff)
+            states = (
+                np.frombuffer(blob, "<u4", b * lanes, offset=hs)
                 .reshape(b, lanes)
-                .astype(np.int32)
+                .astype(np.uint32)
             )
-            woff = coff + 2 * b * lanes
+            coff = hs + 4 * b * lanes
+            if flags & 32:  # width-packed counts block
+                counts64, nread = _parse_counts(blob, coff, b * lanes)
+                counts = counts64.reshape(b, lanes).astype(np.int32)
+                woff = coff + nread
+            else:
+                if len(blob) < coff + 2 * b * lanes:
+                    raise CodedStreamError(
+                        "blob truncated before the lane header"
+                    )
+                counts = (
+                    np.frombuffer(blob, "<u2", b * lanes, offset=coff)
+                    .reshape(b, lanes)
+                    .astype(np.int32)
+                )
+                woff = coff + 2 * b * lanes
         n_words = int(counts.sum())
         if len(blob) < woff + 2 * n_words:
             raise CodedStreamError("blob truncated inside the word stream")
@@ -889,22 +1095,31 @@ class WACNNCodec:
                 int(v) for v in np.frombuffer(blob, "<u2", ncaps, offset=hs + 2)
             )
             hs += 2 + 2 * ncaps
-        if len(blob) < hs + 4 * lanes:
-            raise CodedStreamError("blob truncated before the lane header")
-        states = np.frombuffer(blob, "<u4", lanes, offset=hs)
-        coff = hs + 4 * lanes
-        if ver == 6 and flags & 32:  # width-packed counts block
-            counts64, nread = _parse_counts(blob, coff, lanes)
+        if ver == 6 and flags & 128:  # tight lane header
+            (states, counts64), nread = _parse_lane_header(blob, hs, lanes)
             counts = counts64.astype(np.uint32)
-            woff = coff + nread
+            woff = hs + nread
         else:
-            cw = 4 if ver == 1 else 2  # v1 stored u4 lane counts
-            if len(blob) < coff + cw * lanes:
-                raise CodedStreamError("blob truncated before the lane header")
-            counts = np.frombuffer(blob, f"<u{cw}", lanes, offset=coff).astype(
-                np.uint32
-            )
-            woff = coff + cw * lanes
+            if len(blob) < hs + 4 * lanes:
+                raise CodedStreamError(
+                    "blob truncated before the lane header"
+                )
+            states = np.frombuffer(blob, "<u4", lanes, offset=hs)
+            coff = hs + 4 * lanes
+            if ver == 6 and flags & 32:  # width-packed counts block
+                counts64, nread = _parse_counts(blob, coff, lanes)
+                counts = counts64.astype(np.uint32)
+                woff = coff + nread
+            else:
+                cw = 4 if ver == 1 else 2  # v1 stored u4 lane counts
+                if len(blob) < coff + cw * lanes:
+                    raise CodedStreamError(
+                        "blob truncated before the lane header"
+                    )
+                counts = np.frombuffer(
+                    blob, f"<u{cw}", lanes, offset=coff
+                ).astype(np.uint32)
+                woff = coff + cw * lanes
         n_words = int(counts.sum())
         if len(blob) < woff + 2 * n_words:
             raise CodedStreamError("blob truncated inside the word stream")

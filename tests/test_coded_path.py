@@ -980,7 +980,7 @@ def test_blob_v6_roundtrip_and_smaller(codec, x):
     strictly smaller than the v3 form of the same payload."""
     out6 = codec.compress_coded(x, return_debug=True)
     blob6 = out6["strings"][0][0]
-    assert blob6[1] == 6 and (blob6[2] & 32)
+    assert blob6[1] == 6 and (blob6[2] & (32 | 128))
     codec.container_packed_counts = False
     codec.container_rice_sidecar = False
     try:
@@ -1030,8 +1030,69 @@ def test_batch_container_v6_flags(codec, x):
     finally:
         codec.coded_batch_container = False
     blob = out["strings"][0][0]
-    assert blob[1] == 5 and (blob[2] & 32)
+    assert blob[1] == 5 and (blob[2] & (32 | 128))
     rec = codec.decompress_coded(out["strings"], out["shape"])
     np.testing.assert_array_equal(
         np.asarray(rec["y_hat"]), np.asarray(out["y_hat"])
+    )
+
+
+def test_tight_lane_header_roundtrip():
+    """The v6 bit7 lane header (rANS state hi-bytes + Rice count
+    deviations) is exact over adversarial state/count distributions."""
+    from resdsic_tpu.models.codec import (
+        _pack_lane_header,
+        _parse_lane_header,
+    )
+
+    rng = np.random.default_rng(3)
+    cases = [
+        # realistic: log-uniform states, binomial counts
+        (np.uint32((2.0 ** rng.uniform(16, 32, 512)).astype(np.int64)),
+         rng.binomial(3000, 0.01, 512)),
+        # all states at the floor / all counts equal
+        (np.full(64, 1 << 16, np.uint32), np.full(64, 7, np.int64)),
+        # extremes: states near 2^32-1, counts with huge outliers
+        (np.uint32([1 << 16, (1 << 32) - 1, 1 << 24, (1 << 24) - 1]),
+         np.int64([0, 60000, 3, 3])),
+        # single lane
+        (np.uint32([123456789]), np.int64([42])),
+    ]
+    for states, counts in cases:
+        blob = b"HDR" + _pack_lane_header(states, counts) + b"tail"
+        (s2, c2), nread = _parse_lane_header(blob, 3, len(states))
+        assert nread == len(blob) - 7
+        np.testing.assert_array_equal(s2, states)
+        np.testing.assert_array_equal(c2, counts)
+
+
+def test_tight_lane_header_smaller_than_raw():
+    """At realistic statistics the tight header beats the raw 6 B/lane
+    (u32 state + u16 count) block."""
+    from resdsic_tpu.models.codec import _pack_lane_header
+
+    rng = np.random.default_rng(4)
+    states = np.uint32((2.0 ** rng.uniform(16, 32, 4096)).astype(np.int64))
+    counts = rng.binomial(3000, 0.01, 4096)
+    blob = _pack_lane_header(states, counts)
+    assert len(blob) < 6 * 4096 * 0.78  # >22% below raw
+
+
+def test_blob_v6_tight_header_bit_exact(codec, x):
+    """End-to-end with bit7 on (the default): roundtrip bit-exact, and
+    the container shrinks vs the bit5 width-packed form."""
+    out_t = codec.compress_coded(x, return_debug=True)
+    blob = out_t["strings"][0][0]
+    assert blob[1] == 6 and (blob[2] & 128)
+    codec.container_tight_header = False
+    try:
+        out_w = codec.compress_coded(x, return_debug=True)
+    finally:
+        codec.container_tight_header = True
+    assert sum(len(s) for s in out_t["strings"][0]) < sum(
+        len(s) for s in out_w["strings"][0]
+    )
+    rec = codec.decompress_coded(out_t["strings"], out_t["shape"])
+    np.testing.assert_array_equal(
+        np.asarray(rec["y_hat"]), np.asarray(out_t["y_hat"])
     )

@@ -45,14 +45,23 @@ def decompose_blob(blob: bytes) -> dict:
         (ncaps,) = struct.unpack_from("<H", blob, off)
         caps_b = 2 + 2 * ncaps
         off += caps_b
-    states_b = 4 * lanes
-    off += states_b
-    if ver == 6 and flags & 32:
-        counts, counts_b = _parse_counts(blob, off, lanes)
+    if ver == 6 and flags & 128:  # tight lane header (states + counts)
+        from resdsic_tpu.models.codec import _parse_lane_header
+
+        (_, counts), nread = _parse_lane_header(blob, off, lanes)
+        # attribute: lo16 raw = "states", the rest of the block = "counts"
+        states_b = 2 * lanes
+        counts_b = nread - states_b
+        off += nread
     else:
-        counts = np.frombuffer(blob, "<u2", lanes, offset=off)
-        counts_b = 2 * lanes
-    off += counts_b
+        states_b = 4 * lanes
+        off += states_b
+        if ver == 6 and flags & 32:
+            counts, counts_b = _parse_counts(blob, off, lanes)
+        else:
+            counts = np.frombuffer(blob, "<u2", lanes, offset=off)
+            counts_b = 2 * lanes
+        off += counts_b
     words_b = 2 * int(counts.sum())
     off += words_b
     sidecar_b = len(blob) - off
