@@ -146,6 +146,24 @@ class Conv(nn.Module):
         )(x)
 
 
+def _deconv_fold(c12: int, width: int) -> int:
+    """Column-fold factor for narrow-output subpixel deconvs.
+
+    Auto (RESDSIC_DECONV_FOLD unset): fold 8 when the packed channel
+    count is far below one 128-wide MXU tile and the input width
+    divides; env values force a factor (0/1 disables)."""
+    import os
+
+    env = os.environ.get("RESDSIC_DECONV_FOLD")
+    if env is not None:
+        fold = max(1, int(env))
+    else:
+        fold = 8 if c12 <= 48 else 1
+    while fold > 1 and width % fold:
+        fold //= 2
+    return fold
+
+
 class Deconv(nn.Module):
     """2D transposed convolution, exact torch ConvTranspose2d semantics.
 
@@ -234,13 +252,41 @@ class Deconv(nn.Module):
                     (ra * s + rb) :: s * s,
                 ].set(sub)
 
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            packed.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=((-E, U - 1 + E), (-E, U - 1 + E)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        c12 = f * s * s
+        fold = _deconv_fold(c12, x.shape[2])
+        if fold > 1:
+            # NARROW-OUTPUT column folding (tools/exp_deconv3.py v1/v2):
+            # with c12 = f*s^2 output channels far below the 128-wide MXU
+            # tile (the final 192->3 deconv has 12 — ~3% MFU), band the
+            # kernel so `fold` adjacent output-x positions come out as
+            # channels: W'[a, b, :, j*c12 + o] = packed[a, b - j, :, o],
+            # window stride (1, fold). Identical products and summation
+            # order per output element — exact vs the dense form; the
+            # reshape unfolds columns back before the pixel shuffle.
+            wide = jnp.zeros(
+                (U, U + fold - 1, in_ch, c12 * fold), packed.dtype
+            )
+            for j in range(fold):
+                wide = wide.at[
+                    :, j : j + U, :, j * c12 : (j + 1) * c12
+                ].set(packed)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                wide.astype(self.dtype),
+                window_strides=(1, fold),
+                padding=((-E, U - 1 + E), (-E, U - 1 + E + fold - 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            b_, h_, wf, _ = y.shape
+            y = y.reshape(b_, h_, wf * fold, c12)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                packed.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((-E, U - 1 + E), (-E, U - 1 + E)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         # packed channel index o*s^2 + ra*s + rb == pixel_shuffle's (c, i, j)
         return pixel_shuffle(y, s)
 

@@ -132,9 +132,11 @@ def table_bits_fn():
 def eval_cnn(args, x):
     from train_flagship import load_params_npz
 
-    from resdsic_tpu.models import WACNN, WACNNCodec
+    from resdsic_tpu.models import TCM, WACNN, WACNNCodec
 
-    model = WACNN()  # f32 eval (quality numbers)
+    # f32 eval (quality numbers); TCM shares the whole codec runtime so
+    # the same evaluation path covers it (VERDICT r4 next #6)
+    model = TCM() if args.model == "tcm" else WACNN()
     params = jax.jit(model.init)(
         {"params": jax.random.key(0), "noise": jax.random.key(1)},
         jnp.zeros((1, 64, 64, 3), jnp.float32),
@@ -339,7 +341,7 @@ def main():
         "--tag", default="lmbda_0.025",
         help="RD-point key in the RD file (points merge across runs)",
     )
-    ap.add_argument("--model", default="cnn", choices=("cnn", "ind"))
+    ap.add_argument("--model", default="cnn", choices=("cnn", "ind", "tcm"))
     ap.add_argument("--lambda-list", type=float, nargs="+",
                     default=[0.0035, 0.065])
     ap.add_argument("--mask-policy", default="two-levels")
@@ -355,7 +357,7 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     x = jnp.asarray(eval_images(args.images))
 
-    result = eval_cnn(args, x) if args.model == "cnn" else eval_ind(args, x)
+    result = eval_ind(args, x) if args.model == "ind" else eval_cnn(args, x)
     result["anchors_kodak_cnn"] = ANCHORS
     result["note"] = NOTE
     print(json.dumps(result, indent=2))

@@ -158,9 +158,10 @@ def main():
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--lmbda", type=float, default=0.025)
     ap.add_argument(
-        "--model", default="cnn", choices=("cnn", "ind"),
+        "--model", default="cnn", choices=("cnn", "ind", "tcm"),
         help="cnn = flagship WACNN; ind = the scalable two-layer flagship "
-        "(ResWACNNIndependentEntropy, the reference registry's DEFAULT)",
+        "(ResWACNNIndependentEntropy, the reference registry's DEFAULT); "
+        "tcm = the Swin conv-transformer codec (VERDICT r4 next #6)",
     )
     ap.add_argument(
         "--lambda-list", type=float, nargs="+", default=[0.0035, 0.065],
@@ -218,7 +219,7 @@ def main():
     )
     args = ap.parse_args()
 
-    from resdsic_tpu.models import WACNN, ResWACNNIndependentEntropy
+    from resdsic_tpu.models import TCM, WACNN, ResWACNNIndependentEntropy
     from resdsic_tpu.training.loss import (
         RateDistortionLoss,
         ScalableRateDistortionLoss,
@@ -235,6 +236,9 @@ def main():
             mask_policy=args.mask_policy,
         )
         criterion = ScalableRateDistortionLoss(tuple(args.lambda_list))
+    elif args.model == "tcm":
+        model = TCM()  # single-layer like cnn (ref tcm.py:310)
+        criterion = RateDistortionLoss(lmbda=args.lmbda)
     else:
         model = WACNN()  # f32 training; bench serves the params in bf16
         criterion = RateDistortionLoss(lmbda=args.lmbda)
