@@ -210,6 +210,15 @@ def main():
         "state; pair with a reduced --lr for fine-tuning)",
     )
     ap.add_argument(
+        "--freeze-base", action="store_true",
+        help="scalable phase-A recipe (VERDICT r5 #2): freeze the whole "
+        "base branch (g_a, h_a, h_*_s, cc_*, lrp, base EB) and train only "
+        "the progressive modules + the shared decoder g_s — the two-λ "
+        "joint loss otherwise collapses the progressive rate to zero "
+        "before g_s learns to use it (measured: bpp_prog 0.002 at 10k "
+        "joint steps from a warm-started base)",
+    )
+    ap.add_argument(
         "--freeze-transforms", action="store_true",
         help="entropy-settling tail: freeze g_a/g_s so the latent "
         "distribution is stationary and only the rate side (h_a, h_*_s, "
@@ -260,7 +269,18 @@ def main():
         )
         print(f"warm-started params from {args.init_npz}", flush=True)
     mask = None
-    if args.freeze_transforms:
+    if args.freeze_base:
+        def _trainable(path, leaf):
+            top = path[0].key if path else ""
+            return (
+                "prog" in top            # *_prog modules + g_a_progressive
+                or top.startswith("g_s")  # shared decoder must co-adapt
+            )
+
+        mask = jax.tree_util.tree_map_with_path(
+            _trainable, state.params["params"]
+        )
+    elif args.freeze_transforms:
         def _trainable(path, leaf):
             top = path[0].key if path else ""
             return not (top.startswith("g_a") or top.startswith("g_s"))
