@@ -346,7 +346,7 @@ def main():
                     default=[0.0035, 0.065])
     ap.add_argument("--mask-policy", default="two-levels")
     ap.add_argument("--images", type=int, default=24)
-    ap.add_argument("--rd-file", default=str(REPO / "docs" / "RD_r4.json"))
+    ap.add_argument("--rd-file", default=str(REPO / "docs" / "RD_r5.json"))
     args = ap.parse_args()
 
     if not Path(args.npz).exists():

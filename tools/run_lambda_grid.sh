@@ -5,7 +5,7 @@
 set -u
 STEPS=${STEPS:-3000}
 INIT=${INIT:-artifacts_committed/cnn_q65_bf16.npz}
-for LM in 0.0035 0.0067 0.025; do
+for LM in 0.0035 0.025; do
   OUTDIR="artifacts_l${LM#0.}"
   if [ -f "$OUTDIR/cnn_trained_bf16.npz" ]; then
     echo "skip λ=$LM (exists)"; continue

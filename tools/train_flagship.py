@@ -173,6 +173,11 @@ def main():
         help="scalable mask policy (ref parser.py:37 default)",
     )
     ap.add_argument(
+        "--multiple-decoder", action="store_true",
+        help="dual decoders g_s_multi[0|1] (ref --multiple_decoder): "
+        "level 0 and level 1 decode through separate g_s stacks",
+    )
+    ap.add_argument(
         "--tail-penalty", type=float, default=0.0,
         help="latent-tail regularization weight (TailPenaltyLoss): "
         "shrinks the int8-outlier mass the device coder must sidecar-code",
@@ -243,6 +248,7 @@ def main():
         model = ResWACNNIndependentEntropy(
             lmbda_list=tuple(args.lambda_list),
             mask_policy=args.mask_policy,
+            multiple_decoder=args.multiple_decoder,
         )
         criterion = ScalableRateDistortionLoss(tuple(args.lambda_list))
     elif args.model == "tcm":
@@ -272,10 +278,13 @@ def main():
     if args.freeze_base:
         def _trainable(path, leaf):
             top = path[0].key if path else ""
-            return (
-                "prog" in top            # *_prog modules + g_a_progressive
-                or top.startswith("g_s")  # shared decoder must co-adapt
-            )
+            if "prog" in top:  # *_prog modules + g_a_progressive
+                return True
+            if args.multiple_decoder:
+                # only the ENHANCEMENT decoder trains; g_s_multi_0 stays
+                # frozen so level 0 is pinned at the base operating point
+                return top.startswith("g_s_multi_1")
+            return top.startswith("g_s")  # shared decoder must co-adapt
 
         mask = jax.tree_util.tree_map_with_path(
             _trainable, state.params["params"]

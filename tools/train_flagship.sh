@@ -20,6 +20,7 @@ LR=${LR:-1e-4}
 INIT=${INIT:-}   # warm-start artifact for fine-tune continuations
 FREEZE=${FREEZE:-0}  # 1 = entropy-settling tail (--freeze-transforms)
 FREEZE_BASE=${FREEZE_BASE:-0}  # 1 = scalable phase A (--freeze-base)
+MULTI_DEC=${MULTI_DEC:-0}  # 1 = dual decoders (--multiple-decoder)
 # RESUME_START=1 continues an existing partial checkpoint instead of
 # starting over (used when re-tuning CHUNK mid-run)
 if [ "${RESUME_START:-0}" -eq 1 ]; then
@@ -36,6 +37,7 @@ while true; do
   if [ -n "$INIT" ] && [ -z "$RESUME" ]; then EXTRA="--init-npz $INIT"; fi
   if [ "$FREEZE" -eq 1 ]; then EXTRA="$EXTRA --freeze-transforms"; fi
   if [ "$FREEZE_BASE" -eq 1 ]; then EXTRA="$EXTRA --freeze-base"; fi
+  if [ "$MULTI_DEC" -eq 1 ]; then EXTRA="$EXTRA --multiple-decoder"; fi
   if [ -n "$LAMBDAS" ]; then EXTRA="$EXTRA --lambda-list $LAMBDAS"; fi
   if [ "$TAIL" != "0" ]; then EXTRA="$EXTRA --tail-penalty $TAIL"; fi
   python tools/train_flagship.py --steps "$STEPS" --lmbda "$LMBDA" \
