@@ -159,9 +159,20 @@ def bench_secondary(model_name: str):
         baseline, base_label = 0.24, "WACNN 0.24s (no published scalable timing)"
         # two-levels = the reference parser default (ref parser.py:37) and
         # the trained recipe's policy; the class default (learnable-mask)
-        # would add a gamma param the artifact doesn't carry
+        # would add a gamma param the artifact doesn't carry.
+        # multiple_decoder auto-detects from the artifact (the round-5
+        # flagship recipe trains the reference's dual-decoder config).
+        _probe = os.environ.get("RESDSIC_BENCH_NPZ") or os.path.join(
+            repo, "artifacts_ind2", "ind_trained_bf16.npz"
+        )
+        if not os.path.exists(_probe):
+            _probe = os.path.join(repo, "artifacts_committed", "ind_2q_bf16.npz")
+        md = os.path.exists(_probe) and any(
+            "g_s_multi" in k for k in np.load(_probe).files
+        )
         model = ResWACNNIndependentEntropy(
-            mask_policy="two-levels", dtype=jnp.bfloat16
+            mask_policy="two-levels", dtype=jnp.bfloat16,
+            multiple_decoder=md,
         )
         quality = len(model.lmbda_list) - 1  # top level: base + prog coded
     else:
@@ -177,6 +188,8 @@ def bench_secondary(model_name: str):
     # committed artifact on mtime; a fresh clone still benches trained
     # weights via artifacts_committed (ADVICE r4 #1)
     candidates = [
+        os.path.join(repo, "artifacts_ind2", "ind_trained_bf16.npz")
+        if model_name == "ind" else "",
         os.path.join(repo, f"artifacts_{model_name}",
                      f"{model_name}_trained_bf16.npz"),
         os.path.join(repo, "artifacts_committed",

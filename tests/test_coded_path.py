@@ -376,19 +376,24 @@ def test_drained_stream_check_catches_corruption(codec, x):
     raise instead of returning corrupt output (drained-stream check)."""
     from resdsic_tpu.models.codec import CodedStreamError
 
-    from resdsic_tpu.models import codec as codec_mod
+    # sidecar off so the word stream is the blob TAIL regardless of the
+    # container version (v6's tight lane header has a variable size)
+    sk = codec.sidecar_cap
+    codec.sidecar_cap = 0
+    try:
+        with np.errstate(all="ignore"):
+            import warnings as _w
 
-    out = codec.compress_coded(x)
-    blob = bytearray(out["strings"][0][0])
-    hdr = codec._parse_blob(bytes(blob))
-    # corrupt the LAST u16 of the word stream (header + sidecar untouched;
-    # the v3 blob ends with the sidecar, so blob[-2] would hit that)
-    hs = codec_mod._BLOB_HEADER.size
-    n_words = int(hdr["counts"].sum())
-    off = hs + 6 * hdr["lanes"] + 2 * (n_words - 1)
-    blob[off] ^= 0xFF
-    with pytest.raises(CodedStreamError, match="drain"):
-        codec.decompress_coded([[bytes(blob)]], out["shape"])
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                out = codec.compress_coded(x)
+        blob = bytearray(out["strings"][0][0])
+        assert not (blob[2] & 4)  # no sidecar: last u16 IS a payload word
+        blob[-2] ^= 0xFF
+        with pytest.raises(CodedStreamError, match="drain"):
+            codec.decompress_coded([[bytes(blob)]], out["shape"])
+    finally:
+        codec.sidecar_cap = sk
 
 
 def test_scalable_quality_from_header(scal_codec, x):
@@ -547,6 +552,7 @@ def test_blob_v2_contiguous_layout_roundtrip(codec, x):
     codec.coded_interleave = False
     codec.container_packed_counts = False
     codec.container_rice_sidecar = False
+    codec.container_tight_header = False
     try:
         out = codec.compress_coded(x, return_debug=True)
         assert out["strings"][0][0][1] == 2  # container version byte
@@ -563,6 +569,7 @@ def test_blob_v2_contiguous_layout_roundtrip(codec, x):
     finally:
         codec.container_packed_counts = True
         codec.container_rice_sidecar = True
+        codec.container_tight_header = True
     # the default writer emits v6 (packed counts + Rice sidecar) and the
     # contiguous layout rides flag bit4 instead of the version byte
     out6 = codec.compress_coded(x, return_debug=True)
@@ -684,6 +691,7 @@ def test_per_plane_caps_v4_roundtrip(codec, x):
     codec.split_cap_frac = (0.45, 0.20)  # one budget per slice (ns=2)
     codec.container_packed_counts = False
     codec.container_rice_sidecar = False
+    codec.container_tight_header = False
     try:
         out = codec.compress_coded(x, return_debug=True)
         assert out["format"] == "device-ans"
@@ -702,6 +710,7 @@ def test_per_plane_caps_v4_roundtrip(codec, x):
         codec.split_cap_frac = 0.5
         codec.container_packed_counts = True
         codec.container_rice_sidecar = True
+        codec.container_tight_header = True
 
 
 def test_per_plane_caps_v4_scalable(scal_codec, x):
@@ -709,6 +718,9 @@ def test_per_plane_caps_v4_scalable(scal_codec, x):
     y_prog planes of the same index; v4 blobs roundtrip bit-exactly."""
     scal_codec.coded_split = True
     scal_codec.split_cap_frac = (0.40, 0.15, 0.30, 0.10)
+    scal_codec.container_packed_counts = False
+    scal_codec.container_rice_sidecar = False
+    scal_codec.container_tight_header = False
     try:
         out = scal_codec.compress_coded(x, quality=1, return_debug=True)
         if out["format"] != "device-ans":
@@ -723,6 +735,9 @@ def test_per_plane_caps_v4_scalable(scal_codec, x):
     finally:
         scal_codec.coded_split = False
         scal_codec.split_cap_frac = 0.5
+        scal_codec.container_packed_counts = True
+        scal_codec.container_rice_sidecar = True
+        scal_codec.container_tight_header = True
 
 
 def test_split_capv_tunable_roundtrip(codec, x):

@@ -224,8 +224,11 @@ def eval_ind(args, x):
     from resdsic_tpu.models import ResWACNNIndependentEntropy, ScalableCodec
 
     lmbdas = tuple(args.lambda_list)
+    # auto-detect the dual-decoder configuration from the artifact
+    md = any("g_s_multi" in k for k in np.load(args.npz).files)
     model = ResWACNNIndependentEntropy(
-        lmbda_list=lmbdas, mask_policy=args.mask_policy
+        lmbda_list=lmbdas, mask_policy=args.mask_policy,
+        multiple_decoder=md,
     )
     params = jax.jit(model.init)(
         {"params": jax.random.key(0), "noise": jax.random.key(1)},
